@@ -1,0 +1,211 @@
+"""Exact per-column profiling as single-pass wide aggregates.
+
+The reference streams every CSV row into one accumulator object per column
+(reference ``api/routers/runs.py:477-483``) and then re-reads the whole file
+once *per column* for exact distinct counting (``runs.py:496-500`` — N+1
+scans).  Here the same exact metrics compile to:
+
+* ONE wide ``agg(...)`` over all columns → one scan, partial+final
+  HashAggregate, whole-stage codegen (replaces the per-row Python loop);
+* ONE melted ``explode(map(...)) → groupBy(column, value)`` pass for every
+  column's exact value frequencies → one shuffle total instead of N scans
+  (SURVEY.md §4.1 "known anti-pattern — do not port").
+
+Exactness is a reference invariant ("No approximations", reference
+``README.md:27``): exact ``count_distinct`` and exact ``percentile`` are
+used throughout — never ``approx_count_distinct`` / ``approx_percentile``.
+
+Null semantics (reference ``api/services/profile.py:268-270``,
+``distincts.py:160-174``): SQL null or empty-after-trim string counts as
+null; the literal two-char string ``""`` is a separate ``empty_count``
+bucket; values are trimmed before distinct counting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+QUANTILES = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+QUANTILE_NAMES = ["p1", "p5", "p25", "p50", "p75", "p95", "p99"]
+
+
+def null_like(c: Column) -> Column:
+    """Reference null predicate P1: None or empty-after-strip
+    (``profile.py:504-514``). Works for any input type via string cast."""
+    return c.isNull() | (F.trim(c.cast("string")) == F.lit(""))
+
+
+def numeric_stats_exprs(col: str) -> list[Column]:
+    """Welford mean/stddev + exact quantiles + min/max/count for a numeric
+    column — reference A1-A4 (``profile.py:133-230,288-292``) as one agg.
+
+    Spark's ``stddev_samp`` is the same numerically-stable central-moment
+    aggregate as the reference's Welford accumulator; ``percentile`` is the
+    same sorted + linear-interpolation definition as ``_percentile``
+    (``profile.py:206-230``).
+    """
+    c = F.col(col)
+    exprs = [
+        F.count(c).alias(f"{col}_count"),
+        F.sum(null_like(c).cast("long")).alias(f"{col}_null_count"),
+        F.min(c).alias(f"{col}_min"),
+        F.max(c).alias(f"{col}_max"),
+        F.avg(c).alias(f"{col}_mean"),
+        F.stddev_samp(c).alias(f"{col}_stddev"),
+    ]
+    exprs.append(
+        F.percentile(c, F.array(*[F.lit(q) for q in QUANTILES])).alias(f"{col}_quantiles")
+    )
+    return exprs
+
+
+def string_stats_exprs(col: str) -> list[Column]:
+    """String length stats + non-ASCII + char-class flags — reference A10
+    (``profile.py:389-476``) and P9/P10 (``profile.py:441-451``)."""
+    c = F.col(col)
+    ln = F.length(c)
+    return [
+        F.count(c).alias(f"{col}_count"),
+        F.sum(null_like(c).cast("long")).alias(f"{col}_null_count"),
+        F.min(ln).alias(f"{col}_min_length"),
+        F.max(ln).alias(f"{col}_max_length"),
+        F.avg(ln).alias(f"{col}_avg_length"),
+        F.max(c.rlike("[^\\x00-\\x7F]").cast("int")).alias(f"{col}_has_non_ascii"),
+        F.max(c.rlike("[A-Za-z]").cast("int")).alias(f"{col}_has_alpha"),
+        F.max(c.rlike("[0-9]").cast("int")).alias(f"{col}_has_digit"),
+        F.max(c.rlike("\\s").cast("int")).alias(f"{col}_has_space"),
+        F.max(c.rlike("[^A-Za-z0-9\\s]").cast("int")).alias(f"{col}_has_special"),
+    ]
+
+
+def melted_value_counts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Every column's exact value frequencies in ONE shuffle.
+
+    Replaces the reference's per-column full-file re-scan
+    (``runs.py:496-500``) with a single
+    ``explode(map(name→value)) → groupBy(column_name, value).count()``.
+    Values are trimmed first (``distincts.py:172-174`` trim_whitespace
+    default); nulls/empty-after-trim are excluded here and counted
+    separately by :func:`distinct_report`.
+
+    At scale: the shuffle key is (column_name, value) — column_name alone
+    would put each column on one reducer, so the compound key keeps
+    parallelism ∝ value cardinality. Map-side partial aggregation bounds
+    shuffle volume by the number of *distinct* (col, value) pairs per task.
+    """
+    pairs: list[Column] = []
+    for c in cols:
+        pairs.extend([F.lit(c), F.trim(F.col(c).cast("string"))])
+    melted = df.select(F.explode(F.create_map(*pairs)).alias("column_name", "value"))
+    melted = melted.filter(F.col("value").isNotNull() & (F.col("value") != ""))
+    return melted.groupBy("column_name", "value").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def top_n_values(df: DataFrame, cols: list[str], n: int = 10) -> DataFrame:
+    """Top-N value frequencies per column — reference A9
+    (``distincts.py:77-93``) with the pinned deterministic tiebreak
+    (count desc, value asc; FIXTURES.md §F4.3).
+
+    One melted shuffle then a per-column window top-k; the window input is
+    already aggregated (one row per distinct value), so the sort is over
+    cardinality, not row count.
+    """
+    from pyspark.sql import Window
+
+    counts = melted_value_counts(df, cols)
+    w = Window.partitionBy("column_name").orderBy(F.desc("cnt"), F.asc("value"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("column_name", "value", "cnt", "rank")
+    )
+
+
+def distinct_report(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column exact distinct/null/empty counts + cardinality ratio —
+    reference A8/A17 (``distincts.py:144-408``, ratio ``distincts.py:219-221``
+    = distinct / non-null; FIXTURES.md §F4.2 pins the denominator per
+    surface).
+
+    ``empty_count`` is the literal two-char string ``\"\"`` bucket
+    (``distincts.py:166-168``).
+    """
+    total = df.count()
+    aggs: list[Column] = []
+    for c in cols:
+        sc = F.trim(F.col(c).cast("string"))
+        aggs.append(
+            F.count_distinct(
+                F.when(sc.isNotNull() & (sc != ""), sc)
+            ).alias(f"{c}_distinct")
+        )
+        aggs.append(F.sum(null_like(F.col(c)).cast("long")).alias(f"{c}_null"))
+        aggs.append(F.sum((sc == '""').cast("long")).alias(f"{c}_empty"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    out = []
+    for c in cols:
+        nulls = row[f"{c}_null"] or 0
+        non_null = total - nulls
+        distinct = row[f"{c}_distinct"] or 0
+        out.append(
+            (
+                c,
+                total,
+                non_null,
+                nulls,
+                row[f"{c}_empty"] or 0,
+                distinct,
+                float(distinct) / non_null if non_null else 0.0,
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        out,
+        "column_name string, total_count long, non_null_count long, "
+        "null_count long, empty_count long, distinct_count long, "
+        "cardinality_ratio double",
+    )
+
+
+def histogram(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
+    """Exact fixed-bin histogram — reference A6
+    (``profile.py:326-359``): bin width ``(max-min)/bins``, max value
+    folded into the last bin, two aggregate passes (min/max then counts).
+    """
+    r = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx")).collect()[0]
+    mn, mx = float(r["mn"]), float(r["mx"])
+    width = (mx - mn) / bins if mx > mn else 1.0
+    bin_idx = F.least(
+        F.floor((F.col(col) - F.lit(mn)) / F.lit(width)), F.lit(bins - 1)
+    ).cast("int")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bin_idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bin_lo", F.round(F.lit(mn) + F.col("bin") * F.lit(width), 6))
+        .withColumn("bin_hi", F.round(F.lit(mn) + (F.col("bin") + 1) * F.lit(width), 6))
+        .orderBy("bin")
+    )
+
+
+def file_totals(df: DataFrame) -> dict:
+    """Row/column totals — reference A21 (``runs.py:764-771``)."""
+    return {"row_count": df.count(), "column_count": len(df.columns)}
+
+
+def profile_table(df: DataFrame, numeric_cols: list[str], string_cols: list[str]) -> dict:
+    """Driver-side orchestration of the flagship profile (SURVEY.md §7.1 M1):
+    one wide agg + one melted distinct pass + top-10s. Returns a small
+    driver dict (counts-not-values discipline: no raw document text leaves
+    the executors except the top-N values, which are bounded)."""
+    exprs: list[Column] = []
+    for c in numeric_cols:
+        exprs.extend(numeric_stats_exprs(c))
+    for c in string_cols:
+        exprs.extend(string_stats_exprs(c))
+    wide = df.agg(*exprs).collect()[0].asDict() if exprs else {}
+    report = {r["column_name"]: r.asDict() for r in distinct_report(df, numeric_cols + string_cols).collect()}
+    top = {}
+    for r in top_n_values(df, string_cols, 10).collect():
+        top.setdefault(r["column_name"], []).append((r["value"], r["cnt"]))
+    return {"wide": wide, "distincts": report, "top_values": top, **file_totals(df)}

@@ -1,0 +1,198 @@
+"""QualityFilterPipeline — the driver-side orchestrator (SURVEY.md §3.2 analog).
+
+The reference's 8-stage single-file pipeline (``api/services/pipeline.py:141-208``)
+becomes one declarative DataFrame DAG per batch:
+
+    pages → signals (JVM expressions) → langid + perplexity (pandas UDFs)
+          → PII scrub + counts (JVM regex chain) → keep/drop decision
+          → partitioned write + per-batch metrics + manifest commit
+
+Scoring is a single narrow map stage — zero shuffles; Catalyst fuses all
+expression work into one whole-stage-codegen span around the two Arrow
+UDF exchanges. The write repartitions by a url-hash salt (north rule:
+defuse host-level skew — a Zipf host distribution otherwise concentrates
+a host's documents in few tasks downstream).
+
+Run lifecycle (reference ``api/storage/workspace.py:206-237`` state machine
+reborn): each batch (a month of ``warc_ts``) is written with dynamic
+partition overwrite and then recorded in ``manifest.json`` with its exact
+metrics. Re-running skips completed batches and re-overwrites incomplete
+ones — idempotent resume from the last committed "snapshot"
+(SURVEY.md §7.3.7). With an Iceberg catalog on the cluster the same commit
+becomes a table snapshot; parquet + manifest is the sandbox fallback
+(io/catalog.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from . import rules
+from .functions.langid import langid_udf, log_perplexity_udf
+from .functions.pii import pii_counts_expr, scrub_expr
+from .functions.textstats import heuristic_drop_reasons_expr, signals_expr
+
+SALT_BUCKETS = 256
+
+
+def url_salt(n_buckets: int = SALT_BUCKETS):
+    """Salted partition key: pmod(xxhash64(url), n) — spreads hot hosts
+    across the cluster (north rule; SURVEY.md §4.2)."""
+    return F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets))
+
+
+def score_pages(df: DataFrame, keep_langs: tuple[str, ...] = rules.KEEP_LANGS) -> DataFrame:
+    """Pure transform: pages → pages + signals/lang_pred/log_ppl/pii/keep.
+
+    Column contract (stable output schema):
+    signals struct, lang_pred, lang_margin, log_ppl, pii_counts struct,
+    scrubbed_text, drop_reasons array<string>, keep boolean.
+    """
+    sig = signals_expr("text")
+    out = df.withColumn("signals", sig)
+    lid = langid_udf(F.col("text"))
+    out = out.withColumn("lang_pred", lid["lang_pred"]).withColumn(
+        "lang_margin", lid["margin"]
+    )
+    out = out.withColumn("log_ppl", log_perplexity_udf(F.col("text")))
+    out = out.withColumn("scrubbed_text", scrub_expr(F.col("text"))).withColumn(
+        "pii_counts", pii_counts_expr(F.col("text"))
+    )
+    lang_fail = F.when(
+        ~F.col("lang_pred").isin(*keep_langs), F.array(F.lit("lang"))
+    ).otherwise(F.array().cast("array<string>"))
+    ppl_fail = F.when(
+        F.col("log_ppl") > rules.MAX_LOG_PERPLEXITY, F.array(F.lit("perplexity"))
+    ).otherwise(F.array().cast("array<string>"))
+    reasons = F.concat(lang_fail, heuristic_drop_reasons_expr(F.col("signals")), ppl_fail)
+    return out.withColumn("drop_reasons", reasons).withColumn(
+        "keep", F.size("drop_reasons") == 0
+    )
+
+
+def _metrics_observation() -> tuple[Observation, list]:
+    """Profiler-style exact metrics piggybacked on the write pass via
+    ``observe()`` — row counts, keep counts, null rates, score histogram
+    (north rule 'per-partition lineage + profiler-style exact metrics')
+    with zero extra scans."""
+    obs = Observation("batch_metrics")
+    ppl = F.col("log_ppl")
+    bins = [
+        F.sum(
+            ((ppl >= lo) & (ppl < hi)).cast("long")
+        ).alias(f"ppl_{str(lo).replace('.', '_')}_{str(hi).replace('.', '_')}")
+        for lo, hi in [(0, 6), (6, 7), (7, 8), (8, 9.2), (9.2, 11), (11, 1e9)]
+    ]
+    exprs = [
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
+        F.sum((F.col("lang_pred") != F.col("lang")).cast("long")).alias("langid_disagree"),
+        *bins,
+    ]
+    return obs, exprs
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    output_path: str
+    batches: list[dict] = field(default_factory=list)
+    resumed_batches: list[str] = field(default_factory=list)
+
+    @property
+    def total_rows(self) -> int:
+        return sum(b["metrics"].get("rows", 0) for b in self.batches)
+
+
+class QualityFilterPipeline:
+    """Resumable scoring run over a pages table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        output_path: str,
+        keep_langs: tuple[str, ...] = rules.KEEP_LANGS,
+        salt_buckets: int = SALT_BUCKETS,
+    ):
+        self.spark = spark
+        self.output_path = output_path
+        self.keep_langs = keep_langs
+        self.salt_buckets = salt_buckets
+
+    # -- manifest (run workspace, reference workspace.py:71-357 analog) --
+    def _manifest_path(self) -> str:
+        return os.path.join(self.output_path, "manifest.json")
+
+    def _load_manifest(self) -> dict:
+        p = self._manifest_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"run_id": None, "state": "queued", "completed_batches": {}}
+
+    def _save_manifest(self, m: dict) -> None:
+        os.makedirs(self.output_path, exist_ok=True)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=2, default=str)
+        os.replace(tmp, self._manifest_path())
+
+    def run(self, pages: DataFrame, run_id: str = "run-0") -> RunResult:
+        """Score + write, one committed batch per warc_ts month.
+
+        Already-committed batches (same run_id) are skipped — resume from
+        the last completed snapshot. Each batch write uses dynamic
+        partition overwrite, so a re-run of an incomplete batch replaces
+        rather than duplicates (idempotent).
+        """
+        manifest = self._load_manifest()
+        if manifest.get("run_id") != run_id:
+            manifest = {"run_id": run_id, "state": "processing", "completed_batches": {}}
+        result = RunResult(run_id=run_id, output_path=self.output_path)
+        months = [
+            r["m"]
+            for r in pages.select(F.date_format("warc_ts", "yyyy-MM").alias("m"))
+            .distinct()
+            .orderBy("m")
+            .collect()
+        ]
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        for month in months:
+            if month in manifest["completed_batches"]:
+                result.resumed_batches.append(month)
+                continue
+            t0 = time.time()
+            batch = pages.filter(F.date_format("warc_ts", "yyyy-MM") == month)
+            scored = score_pages(batch, self.keep_langs)
+            scored = scored.withColumn("month", F.date_format("warc_ts", "yyyy-MM")).withColumn(
+                "salt", url_salt(self.salt_buckets)
+            )
+            obs, exprs = _metrics_observation()
+            scored = scored.observe(obs, *exprs)
+            (
+                scored.repartition(F.col("salt"))
+                .drop("salt")
+                .write.mode("overwrite")
+                .partitionBy("month")
+                .parquet(os.path.join(self.output_path, "data"))
+            )
+            metrics = {k: v for k, v in obs.get.items()}
+            entry = {
+                "month": month,
+                "metrics": metrics,
+                "elapsed_sec": round(time.time() - t0, 3),
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+            manifest["completed_batches"][month] = entry
+            self._save_manifest(manifest)
+            result.batches.append(entry)
+        manifest["state"] = "completed"
+        self._save_manifest(manifest)
+        return result

@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+One place to pin the execution config that the whole engine assumes:
+AQE on (runtime shuffle coalescing + skew-join splitting), Arrow on
+(vectorized pandas-UDF transfer), UTC session timezone (oracle parity
+with DuckDB), shuffle partitions sized to cores rather than the
+200-partition default.
+
+At 100 TB these same settings hold: AQE picks the real shuffle
+parallelism from map-side statistics, so `spark.sql.shuffle.partitions`
+only needs to be a sane upper bound (cluster cores × 2-3), and skew
+handling is runtime, not hand-tuned.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path as _Path
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "data_profiler_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``cores`` controls ``local[N]`` — the two-parallelism scaling bench
+    (BASELINE.md north rule) runs the same job at local[8] and local[32]
+    through this one knob.
+    """
+    n = cores or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(2 * n, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+        # Python workers resolve this package via PYTHONPATH, not driver
+        # sys.path — pin the repo root so pandas UDFs import it anywhere.
+        # On a real cluster, spark-submit --py-files replaces this.
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            str(_Path(__file__).resolve().parents[1]),
+        )
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

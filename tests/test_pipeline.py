@@ -1,0 +1,63 @@
+"""Run lifecycle: partitioned write, per-batch metrics, manifest, resume."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from data_profiler_spark.pipeline import QualityFilterPipeline, score_pages
+
+
+def test_scoring_distribution_sane(pages):
+    scored = score_pages(pages)
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.sum((F.col("quality_class") == "clean").cast("long")).alias("clean"),
+    ).collect()[0]
+    # keep rate should be positive but well below 1 (violations + non-en)
+    assert 0 < agg["kept"] < agg["n"]
+    # clean en docs dominate the kept set
+    kept_by_class = {
+        r["quality_class"]: r["cnt"]
+        for r in scored.filter("keep")
+        .groupBy("quality_class")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert kept_by_class.get("clean", 0) >= 0.95 * sum(kept_by_class.values())
+
+
+def test_run_write_and_resume(pages, tmp_path):
+    out = str(tmp_path / "filtered")
+    pipe = QualityFilterPipeline(pages.sparkSession, out)
+    res1 = pipe.run(pages, run_id="r1")
+    assert res1.batches and not res1.resumed_batches
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert manifest["state"] == "completed"
+    assert set(manifest["completed_batches"]) == {b["month"] for b in res1.batches}
+    # metrics recorded per batch
+    m0 = res1.batches[0]["metrics"]
+    assert m0["rows"] > 0 and "kept" in m0 and "null_text" in m0
+
+    written = pages.sparkSession.read.parquet(os.path.join(out, "data"))
+    assert written.count() == pages.count()
+    assert "keep" in written.columns and "scrubbed_text" in written.columns
+    # partitioned by month on disk
+    assert any(d.startswith("month=") for d in os.listdir(os.path.join(out, "data")))
+
+    # resume: all batches skipped, nothing rewritten
+    res2 = pipe.run(pages, run_id="r1")
+    assert not res2.batches
+    assert sorted(res2.resumed_batches) == sorted(b["month"] for b in res1.batches)
+
+    # partial manifest → only missing batches run
+    manifest["completed_batches"].popitem()
+    manifest["state"] = "processing"
+    with open(os.path.join(out, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    res3 = pipe.run(pages, run_id="r1")
+    assert len(res3.batches) == 1
+    assert pages.sparkSession.read.parquet(os.path.join(out, "data")).count() == pages.count()

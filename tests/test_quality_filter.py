@@ -1,0 +1,98 @@
+"""North-rule correctness gate: keep/drop F1 vs the single-process reference
+labeler + byte-identical scrubbed text per document (BASELINE.json metric)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_profiler_spark.pipeline import score_pages
+from data_profiler_spark.synth import gen_doc
+
+from . import reference_labeler as ref
+
+
+@pytest.fixture(scope="module")
+def scored_vs_ref(pages):
+    rows = (
+        score_pages(pages)
+        .select("doc_id", "text", "lang", "lang_pred", "log_ppl", "signals",
+                "drop_reasons", "keep", "scrubbed_text", "pii_counts")
+        .collect()
+    )
+    texts = [r["text"] for r in rows]
+    labels = ref.label_batch(texts)
+    return rows, labels
+
+
+def test_keep_drop_f1(scored_vs_ref):
+    rows, labels = scored_vs_ref
+    tp = fp = fn = agree = 0
+    for r, l in zip(rows, labels):
+        if r["keep"] and l["keep"]:
+            tp += 1
+        elif r["keep"] and not l["keep"]:
+            fp += 1
+        elif not r["keep"] and l["keep"]:
+            fn += 1
+        if r["keep"] == l["keep"]:
+            agree += 1
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    assert f1 >= 0.99, f"F1={f1} (tp={tp} fp={fp} fn={fn}, agree={agree}/{len(rows)})"
+    # both kept and dropped classes must actually occur in the fixture
+    assert tp > 0 and (fp + fn) < len(rows)
+    assert any(not l["keep"] for l in labels)
+
+
+def test_scrubbed_text_byte_identical(scored_vs_ref):
+    rows, labels = scored_vs_ref
+    mismatches = [
+        (r["doc_id"], r["scrubbed_text"], l["scrubbed_text"])
+        for r, l in zip(rows, labels)
+        if r["scrubbed_text"] != l["scrubbed_text"]
+    ]
+    assert not mismatches, f"{len(mismatches)} scrub mismatches; first: {mismatches[0]}"
+    # PII actually present and scrubbed in the fixture
+    assert any("<EMAIL>" in l["scrubbed_text"] for l in labels)
+    assert any("<SSN>" in l["scrubbed_text"] for l in labels)
+    assert any("<CREDIT_CARD>" in l["scrubbed_text"] for l in labels)
+    assert any("<PHONE>" in l["scrubbed_text"] for l in labels)
+
+
+def test_drop_reasons_match(scored_vs_ref):
+    rows, labels = scored_vs_ref
+    bad = [
+        (r["doc_id"], list(r["drop_reasons"]), l["drop_reasons"])
+        for r, l in zip(rows, labels)
+        if list(r["drop_reasons"]) != l["drop_reasons"]
+    ]
+    assert not bad, f"{len(bad)} reason mismatches; first: {bad[0]}"
+
+
+def test_pii_counts_match(scored_vs_ref):
+    rows, labels = scored_vs_ref
+    for r, l in zip(rows, labels):
+        assert r["pii_counts"].asDict() == l["pii_counts"], r["doc_id"]
+
+
+def test_signals_match(scored_vs_ref):
+    rows, labels = scored_vs_ref
+    for r, l in zip(rows, labels):
+        s, e = r["signals"].asDict(), l["signals"]
+        for k, v in e.items():
+            got = s[k]
+            assert got == pytest.approx(v, abs=1e-9), (r["doc_id"], k, got, v)
+
+
+def test_langid_accuracy_on_ground_truth(scored_vs_ref):
+    """The seeded langid model must be reliable on the synthetic fixture —
+    otherwise the lang gate is noise, not signal."""
+    rows, _ = scored_vs_ref
+    ok = sum(1 for r in rows if r["lang_pred"] == r["lang"])
+    assert ok / len(rows) >= 0.98, f"langid accuracy {ok}/{len(rows)}"
+
+
+def test_determinism_same_doc():
+    a, b = gen_doc(123), gen_doc(123)
+    assert a == b
