@@ -305,6 +305,219 @@ def q_candidate_key_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# dedup / similarity / text analysis / windows (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified (oracle = exact
+    brute-force threshold join; LSH recall on this fixture is 100%)."""
+    from data_profiler_spark.operators import dedup
+
+    df = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.8).orderBy("id1", "id2")
+
+
+def q_ngram_jaccard_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard join (inverted-index candidates)."""
+    from data_profiler_spark.operators import dedup
+
+    df = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).orderBy("id1", "id2")
+
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signature histogram: top-5 16-bit buckets (cnt desc, sim asc)."""
+    from data_profiler_spark.operators import dedup
+
+    df = _t(spark, sf_dir, "documents")
+    return (
+        df.select(dedup.simhash_expr(F.col("text")).alias("sim"))
+        .groupBy("sim")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("sim"))
+        .limit(5)
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact at fixture scale)."""
+    from data_profiler_spark.operators import similarity
+
+    df = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(df, threshold=0.45)
+    return pairs.select("id1", "id2", F.round("cosine", 4).alias("cosine")).orderBy("id1", "id2")
+
+
+def q_ivf_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer sanity: per-(label, nearest-centroid-cell) counts."""
+    from data_profiler_spark.operators import similarity
+
+    df = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (r["label"], [float(x) for x in r["centroid"]])
+        for r in similarity.label_centroids(df).collect()
+    ]
+    cents.sort()
+    a = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scored = F.array(
+        *[
+            F.struct(similarity.cosine_expr(a, similarity._lit_vec(v)).alias("sim"), F.lit(int(l)).alias("cell"))
+            for l, v in cents
+        ]
+    )
+    return (
+        df.select("label", F.array_max(scored)["cell"].alias("cell"))
+        .groupBy("label", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_lang_guess_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic: (true lang, guess) counts."""
+    from data_profiler_spark.functions import textanalysis as ta
+
+    df = _t(spark, sf_dir, "documents")
+    return (
+        df.select("lang", ta.lang_guess_expr(F.col("text")).alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts per source."""
+    from data_profiler_spark.functions import textanalysis as ta
+
+    df = _t(spark, sf_dir, "documents")
+    n = ta.bpe_token_count_expr(F.col("text"))
+    return df.groupBy("source").agg(
+        F.sum(n).alias("total_tokens"),
+        F.round(F.avg(n), 4).alias("avg_tokens"),
+        F.max(n).alias("max_tokens"),
+    )
+
+
+def q_quality_score_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length/stopword/alpha/punct blend)."""
+    from data_profiler_spark.functions import textanalysis as ta
+
+    df = _t(spark, sf_dir, "documents")
+    s = ta.quality_score_expr(F.col("text"))
+    return df.groupBy("source").agg(
+        F.round(F.avg(s), 4).alias("avg_score"),
+        F.sum((s >= 0.75).cast("long")).alias("high_quality_docs"),
+    )
+
+
+def q_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-k rolling char-5-gram fingerprints: per-source distinct/dup counts."""
+    from data_profiler_spark.functions import textanalysis as ta
+
+    df = _t(spark, sf_dir, "documents")
+    fp = ta.chargram_minhash_fingerprint_expr(F.col("text"))
+    return (
+        df.select("source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.count_distinct("fp").alias("distinct_fp"),
+            (F.count(F.lit(1)) - F.count_distinct("fp")).alias("dup_docs"),
+        )
+    )
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via window functions: 30-min-gap sessions per user."""
+    df = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # events.ts is TIMESTAMP_NTZ; epoch seconds via cast through TIMESTAMP
+    # (session tz is pinned UTC, matching DuckDB epoch())
+    sec = F.col("ts").cast("timestamp").cast("double")
+    gap = sec - F.lag(sec).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        df.withColumn("_ns", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("_ns").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_line_ending_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 line-ending exact counts (length-delta aggregates)."""
+    from data_profiler_spark.io import intake
+
+    df = _t(spark, sf_dir, "documents")
+    return df.agg(*intake.line_ending_counts_exprs("text"))
+
+
+def q_moments_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 inputs: first four raw moments of n_chars (normaltest runs
+    driver-side on these — see operators.profiler.normaltest_pvalue)."""
+    df = _t(spark, sf_dir, "documents")
+    from data_profiler_spark.operators import profiler as P2
+
+    n, m1, m2, m3, m4 = P2.raw_moments_exprs("n_chars")
+    return df.agg(
+        n,
+        F.round(m1, 6).alias("n_chars_m1"),
+        F.round(m2, 4).alias("n_chars_m2"),
+        F.round(m3, 2).alias("n_chars_m3"),
+        F.round(m4, 0).alias("n_chars_m4"),
+    ).select(
+        F.col("n_chars_n"), "n_chars_m1", "n_chars_m2", "n_chars_m3", "n_chars_m4"
+    )
+
+
+def q_error_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 error rollup over synthetic error rows derived from lineitem."""
+    from data_profiler_spark.operators import errors as E
+
+    li = _t(spark, sf_dir, "lineitem")
+    total = li.count()
+    errs = (
+        li.filter(F.pmod("l_orderkey", F.lit(13)) == 0)
+        .select(
+            F.when(F.pmod("l_linenumber", F.lit(3)) == 0, F.lit("E_UNQUOTED_DELIM"))
+            .when(F.pmod("l_linenumber", F.lit(3)) == 1, F.lit("W_DELIMITER_MISMATCH"))
+            .otherwise(F.lit("W_MIXED_LINE_ENDINGS"))
+            .alias("code"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("line_number"),
+            F.lit("amount").alias("column"),
+        )
+    )
+    return E.error_rollup(errs, total).withColumn(
+        "catastrophic", F.col("catastrophic").cast("int")
+    )
+
+
+def q_candidate_keys_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19 candidate-key ranking (singles + 2-col compounds) on customer."""
+    from data_profiler_spark.operators import keys as K
+
+    df = _t(spark, sf_dir, "customer")
+    cands = K.candidate_keys(
+        df,
+        ["c_name", "c_nationkey", "c_mktsegment", "c_acctbal"],
+        max_width=2,
+        min_score=0.5,
+        min_distinct_ratio=0.5,
+        top=5,
+    )
+    rows = [
+        (
+            "+".join(k.columns),
+            round(k.distinct_ratio, 6),
+            round(k.null_ratio_sum, 6),
+            round(k.score, 6),
+        )
+        for k in cands
+    ]
+    return spark.createDataFrame(
+        rows, "key_cols string, distinct_ratio double, null_ratio_sum double, score double"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_nchars": q_profile_nchars,
@@ -325,6 +538,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_groups": q_dup_groups,
         "ann_cosine_top10": q_ann_cosine_top10,
         "candidate_key_ratios": q_candidate_key_ratios,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "ngram_jaccard_dup": q_ngram_jaccard_dup,
+        "simhash_signatures": q_simhash_signatures,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ivf_centroid_confusion": q_ivf_centroid_confusion,
+        "lang_guess_confusion": q_lang_guess_confusion,
+        "bpe_token_stats": q_bpe_token_stats,
+        "quality_score_by_source": q_quality_score_by_source,
+        "fingerprint_stats": q_fingerprint_stats,
+        "user_sessions": q_user_sessions,
+        "line_ending_stats": q_line_ending_stats,
+        "moments_nchars": q_moments_nchars,
+        "error_rollup": q_error_rollup,
+        "candidate_keys_customer": q_candidate_keys_customer,
     }
 
 
@@ -513,6 +740,221 @@ _ORACLE: dict[str, str] = {
         FROM customer
     """,
 }
+
+
+# --- generated oracles for the dedup / text-analysis / window queries ------
+
+_SH_CTE = """
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [array_to_string(toks, ' ')] END) AS sh
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
+        FROM documents)
+)
+"""
+
+_JACCARD = "len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh))"
+
+
+def _jaccard_pairs_sql(threshold: float) -> str:
+    return f"""
+    {_SH_CTE}
+    SELECT a.doc_id AS id1, b.doc_id AS id2, round({_JACCARD}, 6) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE {_JACCARD} >= {threshold}
+    ORDER BY id1, id2
+    """
+
+
+_HI_HEX_SQL = "('8','9','a','b','c','d','e','f')"
+_SIMHASH_BITS_SQL = " || ".join(
+    f"(CASE WHEN 2*len(list_filter(toks, t -> substr(md5(t), {i + 1}, 1) IN {_HI_HEX_SQL})) > len(toks)"
+    " THEN '1' ELSE '0' END)"
+    for i in range(16)
+)
+
+
+def _lang_markers_sql() -> str:
+    from data_profiler_spark.functions.textanalysis import LANG_MARKERS, LANG_PRIORITY
+
+    lw = (
+        "list_transform(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),"
+        " x -> x <> ''), x -> lower(x))"
+    )
+    hits = {
+        lang: "len(list_intersect(["
+        + ",".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        + f"], {lw}))"
+        for lang in LANG_PRIORITY
+    }
+    hit_cols = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in LANG_PRIORITY) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN h_{lang} > 0 AND h_{lang} = best THEN '{lang}'" for lang in LANG_PRIORITY
+    ) + " ELSE 'und' END"
+    return f"""
+    WITH h AS (SELECT lang, {hit_cols} FROM documents),
+    g AS (SELECT lang, {case} AS guess FROM (SELECT *, {best} AS best FROM h))
+    SELECT lang, guess, count(*) AS cnt FROM g GROUP BY lang, guess
+    """
+
+
+_BPE_RE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
+_PUNCT_RE_SQL = "[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
+_STOP10_SQL = "['the','be','to','of','and','that','have','with','a','in']"
+
+_FP_SQL = (
+    "array_to_string(list_sort(list_distinct(list_transform("
+    "range(1, greatest(len(text)-4, 1)+1), i -> substr(md5(substr(text, i, 5)), 1, 16))))[1:4], '|')"
+)
+
+_KEY_COMBOS = [
+    ("c_name",), ("c_nationkey",), ("c_mktsegment",), ("c_acctbal",),
+    ("c_name", "c_nationkey"), ("c_name", "c_mktsegment"), ("c_name", "c_acctbal"),
+    ("c_nationkey", "c_mktsegment"), ("c_nationkey", "c_acctbal"),
+    ("c_mktsegment", "c_acctbal"),
+]
+
+
+def _candidate_keys_sql() -> str:
+    parts = []
+    for combo in _KEY_COMBOS:
+        key = f"({', '.join(combo)})" if len(combo) > 1 else combo[0]
+        nulls = " + ".join(
+            f"sum(CASE WHEN {c} IS NULL OR trim({c}::VARCHAR) = '' THEN 1 ELSE 0 END)::DOUBLE / count(*)"
+            for c in combo
+        )
+        parts.append(
+            f"SELECT '{'+'.join(combo)}' AS key_cols, {len(combo)} AS width, "
+            f"count(DISTINCT {key})::DOUBLE / count(*) AS dr, {nulls} AS nrs FROM customer"
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+    WITH c AS ({union})
+    SELECT key_cols, round(dr, 6) AS distinct_ratio, round(nrs, 6) AS null_ratio_sum,
+           round(dr * greatest(0.0, 1.0 - nrs), 6) AS score
+    FROM c
+    WHERE dr * greatest(0.0, 1.0 - nrs) >= 0.5 AND dr >= 0.5
+    ORDER BY score DESC, width, key_cols LIMIT 5
+    """
+
+
+_ORACLE.update(
+    {
+        "minhash_lsh_dedup": _jaccard_pairs_sql(0.8),
+        "ngram_jaccard_dup": _jaccard_pairs_sql(0.5),
+        "simhash_signatures": f"""
+            WITH s AS (
+              SELECT doc_id, {_SIMHASH_BITS_SQL} AS sim
+              FROM (SELECT doc_id,
+                           list_distinct(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS toks
+                    FROM documents)
+            )
+            SELECT sim, count(*) AS cnt FROM s GROUP BY sim
+            ORDER BY cnt DESC, sim ASC LIMIT 5
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+            ORDER BY id1, id2
+        """,
+        "ivf_centroid_confusion": """
+            WITH dims AS (SELECT d::INT AS d FROM range(1, 65) t(d)),
+            cent AS (
+              SELECT label AS cell, list(m ORDER BY d) AS c
+              FROM (SELECT label, d, avg(embedding[d]::DOUBLE) AS m
+                    FROM embeddings, dims GROUP BY label, d)
+              GROUP BY label
+            ),
+            assign AS (
+              SELECT e.vec_id, e.label,
+                     arg_max(cent.cell, list_cosine_similarity(e.embedding::DOUBLE[], cent.c)) AS cell
+              FROM embeddings e, cent GROUP BY e.vec_id, e.label
+            )
+            SELECT label, cell, count(*) AS cnt FROM assign GROUP BY label, cell
+        """,
+        "lang_guess_confusion": _lang_markers_sql(),
+        "bpe_token_stats": f"""
+            SELECT source,
+                   sum(len(regexp_extract_all(text, '{_BPE_RE_SQL}')))::BIGINT AS total_tokens,
+                   round(avg(len(regexp_extract_all(text, '{_BPE_RE_SQL}'))), 4) AS avg_tokens,
+                   max(len(regexp_extract_all(text, '{_BPE_RE_SQL}'))) AS max_tokens
+            FROM documents GROUP BY source
+        """,
+        "quality_score_by_source": f"""
+            WITH t AS (
+              SELECT source,
+                     list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks,
+                     len(regexp_extract_all(text, '{_PUNCT_RE_SQL}')) AS punct
+              FROM documents
+            ), sc AS (
+              SELECT source, round((
+                  (CASE WHEN len(toks) BETWEEN 10 AND 20000 THEN 1.0 ELSE 0.0 END)
+                  + least(len(list_intersect({_STOP10_SQL}, list_transform(toks, x -> lower(x))))::DOUBLE / 5.0, 1.0)
+                  + (CASE WHEN len(toks) > 0
+                          THEN len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / len(toks)
+                          ELSE 0.0 END)
+                  + greatest(0.0, 1.0 - (CASE WHEN len(toks) > 0 THEN punct::DOUBLE / len(toks) ELSE 1.0 END))
+                ) / 4.0, 6) AS score
+              FROM t
+            )
+            SELECT source, round(avg(score), 4) AS avg_score,
+                   sum(CASE WHEN score >= 0.75 THEN 1 ELSE 0 END)::BIGINT AS high_quality_docs
+            FROM sc GROUP BY source
+        """,
+        "fingerprint_stats": f"""
+            WITH f AS (SELECT source, {_FP_SQL} AS fp FROM documents)
+            SELECT source, count(*) AS docs, count(DISTINCT fp) AS distinct_fp,
+                   count(*) - count(DISTINCT fp) AS dup_docs
+            FROM f GROUP BY source
+        """,
+        "user_sessions": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                          THEN 1 ELSE 0 END AS ns
+              FROM events
+            )
+            SELECT user_id, sum(ns)::BIGINT AS n_sessions, count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "line_ending_stats": """
+            SELECT sum((length(text) - length(replace(text, chr(13) || chr(10), ''))) / 2)::BIGINT AS crlf_count,
+                   sum((length(text) - length(replace(text, chr(10), '')))
+                       - (length(text) - length(replace(text, chr(13) || chr(10), ''))) / 2)::BIGINT AS lf_count,
+                   sum((length(text) - length(replace(text, chr(13), '')))
+                       - (length(text) - length(replace(text, chr(13) || chr(10), ''))) / 2)::BIGINT AS cr_count
+            FROM documents
+        """,
+        "moments_nchars": """
+            SELECT count(n_chars) AS n_chars_n,
+                   round(avg(n_chars::DOUBLE), 6) AS n_chars_m1,
+                   round(avg(n_chars::DOUBLE * n_chars), 4) AS n_chars_m2,
+                   round(avg(n_chars::DOUBLE * n_chars * n_chars), 2) AS n_chars_m3,
+                   round(avg(n_chars::DOUBLE * n_chars * n_chars * n_chars), 0) AS n_chars_m4
+            FROM documents
+        """,
+        "error_rollup": """
+            WITH e AS (
+              SELECT CASE WHEN l_linenumber % 3 = 0 THEN 'E_UNQUOTED_DELIM'
+                          WHEN l_linenumber % 3 = 1 THEN 'W_DELIMITER_MISMATCH'
+                          ELSE 'W_MIXED_LINE_ENDINGS' END AS code,
+                     l_orderkey * 10 + l_linenumber AS line_number
+              FROM lineitem WHERE l_orderkey % 13 = 0
+            ), t AS (SELECT count(*) AS total FROM lineitem)
+            SELECT code, count(*) AS count, min(line_number) AS first_line,
+                   0 AS catastrophic,
+                   round(count(*)::DOUBLE / total * 100.0, 4) AS pct_of_rows
+            FROM e, t GROUP BY code, total
+        """,
+        "candidate_keys_customer": _candidate_keys_sql(),
+    }
+)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -39,6 +39,9 @@ BENCH_QUERIES = [
     "token_stats_by_lang",
     "dedup_exact",
     "ann_cosine_top10",
+    "minhash_lsh_dedup",
+    "user_sessions",
+    "quality_score_by_source",
 ]
 
 

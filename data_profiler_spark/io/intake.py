@@ -1,0 +1,222 @@
+"""Ingest-side validation — reference S2-S7 re-expressed for Spark.
+
+* **UTF-8 validation with exact byte offset** (S2, reference
+  ``api/services/ingest.py:81-279``): Spark's readers silently replace bad
+  bytes, so the catastrophic-with-offset semantics run over a ``binary``
+  column inside a vectorized pandas UDF (``bytes.decode`` surfaces the
+  exact failing offset in ``UnicodeDecodeError.start`` — the same state
+  machine outcome without hand-rolling one).
+* **Line-ending detection / normalization** (S3, ``ingest.py:282-448``):
+  pure length-delta expressions, no UDF.
+* **Delimiter + quoting sniff** (S4/S5, ``ingest.py:451-665``): driver-side
+  over a tiny head sample — the reference samples 8 KB; distributing a
+  8 KB problem would be overhead, not parallelism.
+* **Jagged-row detection** (S7, ``ingest.py:873-896``): exact per-line
+  field-count check over ``spark.read.text``, quote-naive fast path plus a
+  PERMISSIVE csv read with ``_corrupt`` rollup for the quoted path.
+
+Catastrophic-error gating (SURVEY.md §7.3.6): these validators are cheap
+aggregates meant to run BEFORE the expensive scoring stage; the pipeline
+aborts when a catastrophic count > 0 — same observable behavior as the
+reference's stop-at-first-bad-byte, achieved with full-pass counts instead
+of sequential early exit.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------------
+# S2 — UTF-8 validation (binary column, exact byte offset)
+# --------------------------------------------------------------------------
+
+_UTF8_SCHEMA = T.StructType(
+    [
+        T.StructField("valid", T.BooleanType()),
+        T.StructField("error_offset", T.LongType()),
+        T.StructField("error_reason", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_UTF8_SCHEMA)
+def utf8_validity_udf(payload: pd.Series) -> pd.DataFrame:
+    """Vectorized UTF-8 check: (valid, first-bad-byte offset, reason).
+
+    ``bytes.decode`` runs the full UTF-8 state machine in C (continuation /
+    overlong / surrogate / >U+10FFFF all covered) and reports the exact
+    byte offset — the same verdicts as the reference's hand-rolled
+    validator at C speed."""
+    valid, offset, reason = [], [], []
+    for b in payload:
+        if b is None:
+            valid.append(True)
+            offset.append(None)
+            reason.append(None)
+            continue
+        try:
+            bytes(b).decode("utf-8", errors="strict")
+            valid.append(True)
+            offset.append(None)
+            reason.append(None)
+        except UnicodeDecodeError as e:
+            valid.append(False)
+            offset.append(e.start)
+            reason.append(e.reason)
+    return pd.DataFrame({"valid": valid, "error_offset": offset, "error_reason": reason})
+
+
+def utf8_report(df: DataFrame, binary_col: str = "html") -> DataFrame:
+    """Aggregate UTF-8 verdicts: total/invalid counts + first offending
+    offsets (bounded examples, counts-not-values discipline)."""
+    v = utf8_validity_udf(F.col(binary_col))
+    checked = df.select(v["valid"].alias("valid"), v["error_offset"].alias("error_offset"))
+    return checked.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((~F.col("valid")).cast("long")).alias("invalid_count"),
+        F.min("error_offset").alias("min_error_offset"),
+        F.max("error_offset").alias("max_error_offset"),
+    )
+
+
+# --------------------------------------------------------------------------
+# S3 — line endings
+# --------------------------------------------------------------------------
+
+def _occurrences(c: Column, token: str) -> Column:
+    return (F.length(c) - F.length(F.replace(c, F.lit(token), F.lit("")))) / len(token)
+
+
+def line_ending_counts_exprs(col: str = "text") -> list[Column]:
+    """CRLF / bare-LF / bare-CR exact counts (reference ``ingest.py:312-430``)
+    as pure length-delta aggregates."""
+    c = F.col(col)
+    crlf = _occurrences(c, "\r\n")
+    cr_total = _occurrences(c, "\r")
+    lf_total = _occurrences(c, "\n")
+    return [
+        F.sum(crlf).cast("long").alias("crlf_count"),
+        F.sum(lf_total - crlf).cast("long").alias("lf_count"),
+        F.sum(cr_total - crlf).cast("long").alias("cr_count"),
+    ]
+
+
+def normalize_line_endings(c: Column) -> Column:
+    """All endings → LF (reference ``ingest.py:432-448``)."""
+    return F.regexp_replace(c, "\\r\\n|\\r", "\n")
+
+
+def line_ending_style(agg_row: dict) -> tuple[str, bool]:
+    """(majority style, mixed?) from the counts row — driver-side vote."""
+    counts = {k: agg_row.get(f"{k}_count", 0) or 0 for k in ("crlf", "lf", "cr")}
+    present = [k for k, v in counts.items() if v > 0]
+    if not present:
+        return "lf", False
+    style = max(counts, key=lambda k: (counts[k], k))
+    return style, len(present) > 1
+
+
+# --------------------------------------------------------------------------
+# S4/S5 — delimiter + quoting sniff (driver-side, tiny sample)
+# --------------------------------------------------------------------------
+
+CANDIDATE_DELIMS = ("|", ",", "\t", ";")
+
+
+def sniff_delimiter(lines: list[str]) -> tuple[str, float]:
+    """Count-consistency vote over a head sample (reference
+    ``ingest.py:451-548``): the winning delimiter has the most lines
+    agreeing on a constant, non-zero field count."""
+    best, best_conf = ",", 0.0
+    for d in CANDIDATE_DELIMS:
+        counts = Counter(line.count(d) for line in lines if line)
+        if not counts:
+            continue
+        mode, freq = counts.most_common(1)[0]
+        if mode == 0:
+            continue
+        conf = freq / sum(counts.values())
+        if conf > best_conf:
+            best, best_conf = d, conf
+    return best, best_conf
+
+
+def sniff_quoting(lines: list[str], delimiter: str) -> tuple[bool, float]:
+    """Quote-density heuristic (reference ``ingest.py:551-665``): quoted if
+    a meaningful share of lines start a field with a double quote."""
+    if not lines:
+        return False, 0.0
+    quoted = sum(
+        1
+        for line in lines
+        if line.startswith('"') or f'{delimiter}"' in line
+    )
+    conf = quoted / len(lines)
+    return conf >= 0.2, conf
+
+
+def sniff_csv(spark: SparkSession, path: str, sample_lines: int = 20) -> dict:
+    """Driver-side sniff of delimiter + quoting from the file head."""
+    lines = [r["value"] for r in spark.read.text(path).limit(sample_lines).collect()]
+    delim, dconf = sniff_delimiter(lines)
+    quoted, qconf = sniff_quoting(lines, delim)
+    return {
+        "delimiter": delim,
+        "delimiter_confidence": round(dconf, 4),
+        "quoted": quoted,
+        "quoting_confidence": round(qconf, 4),
+        "header": lines[0] if lines else None,
+    }
+
+
+# --------------------------------------------------------------------------
+# S6/S7 — CSV parse with jagged-row / corrupt-record rollup
+# --------------------------------------------------------------------------
+
+def jagged_row_report(spark: SparkSession, path: str, delimiter: str) -> DataFrame:
+    """Exact field-count histogram over raw lines (quote-naive path,
+    reference ``E_JAGGED_ROW`` ``ingest.py:873-896``): one narrow scan,
+    groupBy on the tiny field-count domain."""
+    raw = spark.read.text(path)
+    n_fields = F.size(F.split(F.col("value"), F.lit(delimiter), -1))
+    return (
+        raw.select(n_fields.alias("n_fields"))
+        .groupBy("n_fields")
+        .agg(F.count(F.lit(1)).alias("line_count"))
+        .orderBy(F.desc("line_count"), F.asc("n_fields"))
+    )
+
+
+def read_csv_with_errors(
+    spark: SparkSession, path: str, delimiter: str = "|", quoted: bool = True
+) -> tuple[DataFrame, Column]:
+    """PERMISSIVE csv read carrying a ``_corrupt`` column; pair with
+    ``F.count(F.col('_corrupt').isNotNull())`` for the reference's
+    count-and-continue error rollup (``ingest.py:953-963``)."""
+    # Spark only materializes the corrupt-record column when it appears in
+    # an explicit schema; the reference's model is all-strings anyway
+    # (SURVEY.md §1.2), so: header sniff → all-string schema + _corrupt.
+    header = spark.read.text(path).limit(1).collect()[0]["value"]
+    schema = ", ".join(
+        f"`{c.strip()}` string" for c in header.split(delimiter)
+    ) + ", _corrupt string"
+    df = (
+        spark.read.option("header", True)
+        .option("sep", delimiter)
+        .option("quote", '"' if quoted else "\u0000")  # NUL disables quoting
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema(schema)
+        .csv(path)
+    )
+    # Spark disallows queries referencing ONLY the corrupt column on a raw
+    # CSV scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+    # cache() is the documented workaround and the rollup typically follows
+    # a full profiling pass over the same data anyway.
+    df = df.cache()
+    return df, F.sum(F.col("_corrupt").isNotNull().cast("long")).alias("corrupt_count")

@@ -1,0 +1,261 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference's duplicate detection is a single-node group-by-key pass
+(reference ``api/services/keys.py:222-364``); these operators generalize it
+to content-level near-duplicate detection for web-scale training-data
+pipelines (task brief: "dedup as first-class components").
+
+Design for 10^12 documents:
+
+* **Exact dedup** — one ``groupBy(sha2(text))`` shuffle; map-side partial
+  aggregation bounds shuffle volume by distinct-hash count per task.
+* **MinHash+LSH** — shingle → minhash signature (narrow map, no shuffle)
+  → band keys → bucket self-join (shuffle on band key, cardinality ≈
+  num_bands × docs) → candidate pairs → exact-Jaccard verification on the
+  candidates only. Cost is O(docs × bands + candidate_pairs), never
+  O(docs²).
+* **SimHash** — banded Hamming join. With ``bits`` split into ``bands``
+  equal slices, any pair with Hamming distance < ``bands`` shares at least
+  one identical slice (pigeonhole), so the banded join is **lossless** for
+  ``max_hamming <= bands - 1`` — exact result, join-shaped cost.
+* **n-gram Jaccard (exact all-pairs)** — inverted-index join on shingle
+  (explode → self-join → distinct pairs → verify). Exact for any
+  threshold > 0 since J(a,b) > 0 requires a shared shingle. At web scale,
+  drop ultra-frequent shingles first (document-frequency cap) — that keeps
+  exactness for thresholds above the dropped mass and collapses the join
+  fan-out; here the fixture is small enough to keep all shingles.
+
+Hashing: MinHash permutations are ``md5`` of a salted shingle, kept as the
+first 16 **hex characters** — lexicographic order on fixed-length hex equals
+numeric order, so ``array_min`` over hex strings is a valid minhash and the
+same computation is expressible in any ANSI engine (the DuckDB oracle runs
+the identical scheme). SimHash bit *i* of a token is the high bit of hex
+char *i* of its md5. At production scale xxhash64 would be cheaper per byte;
+md5 is chosen because cross-engine-checkable beats a few ns/shingle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WS = "[ \\t\\n\\x0B\\f\\r]+"
+
+DEFAULT_NUM_PERM = 16
+DEFAULT_ROWS_PER_BAND = 2
+DEFAULT_SHINGLE = 3
+
+
+def tokens_expr(c: Column) -> Column:
+    """ASCII-whitespace tokens, empties dropped (same split semantics as
+    functions/textstats.py — one tokenizer across the engine)."""
+    return F.filter(F.split(c, _WS), lambda w: w != "")
+
+
+def shingles_expr(c: Column, n: int = DEFAULT_SHINGLE) -> Column:
+    """Distinct word n-gram shingles; docs shorter than n words fall back
+    to one whole-text shingle (so short docs still dedup exactly)."""
+    toks = tokens_expr(c)
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, ngrams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def _minhash_one(sh: Column, perm: int) -> Column:
+    """One permutation: min over salted md5-hex prefixes (16 hex chars;
+    lexicographic == numeric for fixed-length hex)."""
+    return F.array_min(
+        F.transform(sh, lambda x: F.substring(F.md5(F.concat(F.lit(f"p{perm}:"), x)), 1, 16))
+    )
+
+
+def minhash_signature_expr(sh: Column, num_perm: int = DEFAULT_NUM_PERM) -> Column:
+    """Array of ``num_perm`` minhash values (hex strings) for a shingle set."""
+    return F.array(*[_minhash_one(sh, p) for p in range(num_perm)])
+
+
+def lsh_band_keys_expr(sig: Column, num_perm: int, rows_per_band: int) -> Column:
+    """Band keys: md5 of each ``rows_per_band``-slice of the signature.
+    Pr[band match] = J^rows_per_band per band."""
+    bands = num_perm // rows_per_band
+    return F.array(
+        *[
+            F.md5(F.concat_ws("|", F.slice(sig, b * rows_per_band + 1, rows_per_band)))
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard_expr(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, shingle: int) -> DataFrame:
+    return df.select(F.col(id_col).alias("_id"), shingles_expr(F.col(text_col), shingle).alias("_sh"))
+
+
+def _verify_pairs(cand: DataFrame, sets: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Join candidate (id1, id2) pairs back to shingle sets and keep exact
+    Jaccard >= threshold. Both joins shuffle on the id — at scale sets is
+    the big side and candidates the small one; AQE broadcasts candidates."""
+    s1 = sets.select(F.col("_id").alias("id1"), F.col("_sh").alias("_sh1"))
+    s2 = sets.select(F.col("_id").alias("id2"), F.col("_sh").alias("_sh2"))
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("jaccard", jaccard_expr(F.col("_sh1"), F.col("_sh2")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = DEFAULT_NUM_PERM,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    shingle: int = DEFAULT_SHINGLE,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash+LSH, verified with exact Jaccard.
+
+    Returns (id1, id2, jaccard) with id1 < id2. Candidate generation is
+    probabilistic (Pr[detect] = 1-(1-J^r)^b), verification exact — false
+    positives are impossible, false negatives exponentially unlikely above
+    the (r, b) S-curve threshold.
+    """
+    sets = _shingle_sets(df, id_col, text_col, shingle)
+    sig = sets.select(
+        "_id",
+        lsh_band_keys_expr(minhash_signature_expr(F.col("_sh"), num_perm), num_perm, rows_per_band).alias("_bands"),
+    )
+    melted = sig.select("_id", F.posexplode("_bands").alias("band_id", "key"))
+    a = melted.select(F.col("_id").alias("id1"), "band_id", "key")
+    b = melted.select(F.col("_id").alias("id2"), "band_id", "key")
+    cand = (
+        a.join(b, ["band_id", "key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    return _verify_pairs(cand, sets, id_col, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = DEFAULT_SHINGLE,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard join via inverted index on shingle.
+
+    ``max_shingle_df`` (document-frequency cap) is the web-scale knob: a
+    shingle appearing in more than that many docs is dropped from candidate
+    generation (its pairs are found through their rarer shingles anyway for
+    any threshold high enough that rare shingles are shared). None keeps
+    everything — fully exact at any threshold > 0.
+    """
+    sets = _shingle_sets(df, id_col, text_col, shingle)
+    inv = sets.select("_id", F.explode("_sh").alias("shingle"))
+    if max_shingle_df is not None:
+        freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        inv = inv.join(freq.filter(F.col("df") <= max_shingle_df), "shingle")
+    a = inv.select(F.col("_id").alias("id1"), "shingle")
+    b = inv.select(F.col("_id").alias("id2"), "shingle")
+    cand = a.join(b, "shingle").filter(F.col("id1") < F.col("id2")).select("id1", "id2").distinct()
+    return _verify_pairs(cand, sets, id_col, threshold)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+_HI_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def simhash_expr(c: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over distinct tokens as a ``bits``-char '0'/'1' string.
+
+    Bit i = majority vote over tokens of (high bit of hex char i of
+    md5(token)). A string representation keeps the computation expressible
+    in any engine; at production scale the same votes pack into a long via
+    ``conv``. 16 bits suffice for banded Hamming-<=3 joins; widen ``bits``
+    (md5 yields 128) for finer granularity.
+    """
+    toks = F.array_distinct(tokens_expr(c))
+    n = F.size(toks)
+    votes = [
+        F.size(F.filter(toks, lambda t: F.substring(F.md5(t), i + 1, 1).isin(*_HI_HEX)))
+        for i in range(bits)
+    ]
+    return F.concat(*[F.when(v * 2 > n, F.lit("1")).otherwise(F.lit("0")) for v in votes])
+
+
+def hamming_expr(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Hamming distance between two equal-length bit strings."""
+    out = F.lit(0)
+    for i in range(bits):
+        out = out + (F.substring(a, i + 1, 1) != F.substring(b, i + 1, 1)).cast("int")
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with simhash Hamming distance <= max_hamming.
+
+    Banded join: ``bands`` equal slices of the bit string; a pair within
+    ``max_hamming <= bands - 1`` differing bits must agree on >= 1 whole
+    slice (pigeonhole) — candidate generation is LOSSLESS, so the result
+    equals the brute-force O(n^2) scan at join cost.
+    """
+    assert max_hamming <= bands - 1, "banded join only lossless for max_hamming <= bands-1"
+    width = bits // bands
+    sh = df.select(F.col(id_col).alias("_id"), simhash_expr(F.col(text_col), bits).alias("_sim"))
+    band_cols = F.array(
+        *[
+            F.concat(F.lit(f"{b}:"), F.substring("_sim", b * width + 1, width))
+            for b in range(bands)
+        ]
+    )
+    melted = sh.select("_id", "_sim", F.explode(band_cols).alias("key"))
+    a = melted.select(F.col("_id").alias("id1"), F.col("_sim").alias("_s1"), "key")
+    b = melted.select(F.col("_id").alias("id2"), F.col("_sim").alias("_s2"), "key")
+    return (
+        a.join(b, "key")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", hamming_expr(F.col("_s1"), F.col("_s2"), bits).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup: keep the min-id representative per sha256(text).
+    One shuffle on the 256-bit content hash; hash-grouping never compares
+    full documents twice (reference A20 semantics, content-hash key)."""
+    h = F.sha2(F.col(text_col).cast("string"), 256)
+    return (
+        df.withColumn("_h", h)
+        .groupBy("_h")
+        .agg(F.min(id_col).alias("kept_id"), F.count(F.lit(1)).alias("group_size"))
+        .select("kept_id", "group_size")
+    )

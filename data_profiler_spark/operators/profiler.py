@@ -188,6 +188,65 @@ def histogram(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
     )
 
 
+def raw_moments_exprs(col: str) -> list[Column]:
+    """First four raw moments of a numeric column — the distributed half of
+    the reference's Gaussian-ness test A7 (``profile.py:361-382``). One agg;
+    the D'Agostino-Pearson statistic is pure arithmetic on these four
+    numbers (``normaltest_pvalue`` below), so no data leaves the cluster."""
+    c = F.col(col).cast("double")
+    return [
+        F.count(c).alias(f"{col}_n"),
+        F.avg(c).alias(f"{col}_m1"),
+        F.avg(c * c).alias(f"{col}_m2"),
+        F.avg(c * c * c).alias(f"{col}_m3"),
+        F.avg(c * c * c * c).alias(f"{col}_m4"),
+    ]
+
+
+def normaltest_pvalue(n: int, m1: float, m2: float, m3: float, m4: float) -> float | None:
+    """D'Agostino-Pearson K² p-value from raw moments (A7 parity with
+    ``scipy.stats.normaltest`` — same published formulas: D'Agostino 1971
+    skewness z, Anscombe-Glynn 1983 kurtosis z). Driver-side pure math;
+    returns None when n < 8 (reference gate, ``profile.py:367``)."""
+    import math
+
+    if n < 8:
+        return None
+    mu = m1
+    c2 = m2 - mu * mu
+    c3 = m3 - 3 * mu * m2 + 2 * mu**3
+    c4 = m4 - 4 * mu * m3 + 6 * mu * mu * m2 - 3 * mu**4
+    if c2 <= 0:
+        return None
+    g1 = c3 / c2**1.5
+    g2 = c4 / (c2 * c2) - 3.0
+    # skewness z (D'Agostino)
+    y = g1 * math.sqrt((n + 1) * (n + 3) / (6.0 * (n - 2)))
+    b2 = 3.0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3) / ((n - 2.0) * (n + 5) * (n + 7) * (n + 9))
+    w2 = -1 + math.sqrt(2 * (b2 - 1))
+    delta = 1 / math.sqrt(0.5 * math.log(w2))
+    alpha = math.sqrt(2.0 / (w2 - 1))
+    y = y if y != 0 else 1e-30
+    zs = delta * math.log(y / alpha + math.sqrt((y / alpha) ** 2 + 1))
+    # kurtosis z (Anscombe-Glynn) — b2 is NON-excess kurtosis (g2 + 3)
+    e = 3.0 * (n - 1) / (n + 1)
+    var = 24.0 * n * (n - 2) * (n - 3) / ((n + 1) ** 2 * (n + 3) * (n + 5))
+    x = (g2 + 3.0 - e) / math.sqrt(var)
+    beta = (
+        6.0 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+        * math.sqrt(6.0 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3)))
+    )
+    a = 6.0 + 8.0 / beta * (2.0 / beta + math.sqrt(1 + 4.0 / (beta * beta)))
+    denom = 1 + x * math.sqrt(2 / (a - 4.0))
+    if denom <= 0:
+        return None
+    term = (1 - 2.0 / a) / denom
+    zk = (1 - 2.0 / (9.0 * a) - term ** (1.0 / 3.0)) / math.sqrt(2.0 / (9.0 * a))
+    k2 = zs * zs + zk * zk
+    # p = survival of chi2 with 2 dof = exp(-k2/2)
+    return math.exp(-k2 / 2.0)
+
+
 def file_totals(df: DataFrame) -> dict:
     """Row/column totals — reference A21 (``runs.py:764-771``)."""
     return {"row_count": df.count(), "column_count": len(df.columns)}

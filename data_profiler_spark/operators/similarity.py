@@ -1,0 +1,200 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers, smallest-to-largest scale:
+
+* **Brute-force cosine top-k** — exact baseline. One narrow map computing
+  the dot product against a broadcast query vector (a literal array — no
+  join, no shuffle), then ``orderBy(desc).limit(k)`` which Spark compiles
+  to TakeOrderedAndProject (per-partition heap + driver merge, never a
+  full sort).
+* **Hyperplane-LSH-bucketed ANN** — scale path for query-time lookups:
+  each vector gets a ``planes``-bit sign bucket; a query probes its own
+  bucket plus all buckets within ``probe_hamming`` bit flips, ranking only
+  those vectors. Index build is one narrow map; probing reads a small
+  bucket-pruned slice. Recall is tunable via planes/probes (tested against
+  the exact baseline in tests/test_dedup_similarity.py).
+* **IVF-style coarse quantization** — k centroids from a groupBy-avg over
+  a labeled (or k-means-assigned) column; vectors are searched only within
+  the nearest ``nprobe`` cells. ``centroid_assign`` below builds the
+  assignment table (one broadcast of k×d floats + one narrow map).
+
+All vector math is JVM-side (``aggregate``/``zip_with`` fold) — at 64-1024
+dims whole-stage codegen keeps this in the scan stage; for very high dims a
+vectorized pandas UDF over Arrow batches is the fallback (numpy matmul),
+left to the caller.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def _lit_vec(q: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in q])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a broadcast literal query vector."""
+    a = _as_double(F.col(vec_col))
+    sim = cosine_expr(a, _lit_vec(query_vec))
+    return (
+        df.select(id_col, F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
+# Hyperplane LSH
+# --------------------------------------------------------------------------
+
+def random_hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes without numpy RNG state:
+    plane[p][d] from a splitmix-style integer hash of (seed, p, d), mapped
+    to [-1, 1). Stable across engines and processes."""
+    out = []
+    for p in range(planes):
+        row = []
+        for d in range(dim):
+            x = (seed * 0x9E3779B9 + p * 0x85EBCA6B + d * 0xC2B2AE35) & 0xFFFFFFFF
+            x ^= x >> 16
+            x = (x * 0x45D9F3B) & 0xFFFFFFFF
+            x ^= x >> 16
+            row.append((x / 0x80000000) - 1.0)
+        out.append(row)
+    return out
+
+
+def lsh_bucket_expr(vec: Column, hyperplanes: list[list[float]]) -> Column:
+    """Sign-bit bucket string, one char per hyperplane."""
+    a = _as_double(vec)
+    bits = [
+        F.when(dot_expr(a, _lit_vec(h)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for h in hyperplanes
+    ]
+    return F.concat(*bits)
+
+
+def _probe_buckets(bucket: str, probe_hamming: int) -> list[str]:
+    """The query bucket plus every bucket within probe_hamming bit flips."""
+    out = [bucket]
+    n = len(bucket)
+    for dist in range(1, probe_hamming + 1):
+        for idxs in itertools.combinations(range(n), dist):
+            b = list(bucket)
+            for i in idxs:
+                b[i] = "0" if b[i] == "1" else "1"
+            out.append("".join(b))
+    return out
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    probe_hamming: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: rank only vectors in the query's LSH
+    bucket neighborhood. On a real deployment the bucket column is
+    precomputed and the table partitioned by it — the probe then becomes a
+    partition-pruned scan of ~(probes/2^planes) of the data."""
+    dim = len(query_vec)
+    hp = random_hyperplanes(dim, planes, seed)
+    qbits = "".join(
+        "1" if sum(q * h for q, h in zip(query_vec, hrow)) >= 0 else "0" for hrow in hp
+    )
+    buckets = _probe_buckets(qbits, probe_hamming)
+    bucketed = df.withColumn("_bucket", lsh_bucket_expr(F.col(vec_col), hp))
+    pruned = bucketed.filter(F.col("_bucket").isin(buckets))
+    return brute_force_topk(pruned, query_vec, k, id_col, vec_col)
+
+
+# --------------------------------------------------------------------------
+# IVF-style coarse quantization
+# --------------------------------------------------------------------------
+
+def label_centroids(df: DataFrame, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
+    """Per-label mean vectors — the coarse quantizer codebook. Dimension-wise
+    avg via posexplode → groupBy(label, dim) → re-assemble; one shuffle whose
+    cardinality is labels × dims (tiny)."""
+    exploded = df.select(label_col, F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x"))
+    per_dim = exploded.groupBy(label_col, "dim").agg(F.avg("x").alias("m"))
+    return (
+        per_dim.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("pairs"))
+        .select(label_col, F.transform("pairs", lambda p: p["m"]).alias("centroid"))
+    )
+
+
+def centroid_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (IVF cell). Centroids
+    arrive as driver-side literals (k×d floats — broadcast-sized by
+    construction); the argmax is a fold over a literal array of structs, so
+    assignment is a pure narrow map."""
+    a = _as_double(F.col(vec_col))
+    scored = F.array(
+        *[
+            F.struct(cosine_expr(a, _lit_vec(vec)).alias("sim"), F.lit(int(lbl)).alias("cell"))
+            for lbl, vec in centroids
+        ]
+    )
+    best = F.array_max(scored)
+    return df.select(
+        id_col,
+        best["cell"].alias("cell"),
+        F.round(best["sim"], 6).alias("sim"),
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact, O(n²) — fixture scale). The
+    scale path blocks via ``lsh_bucket_expr`` first (join on bucket instead
+    of cross join), trading recall for cost exactly like minhash_lsh_pairs."""
+    a = df.select(F.col(id_col).alias("id1"), _as_double(F.col(vec_col)).alias("_v1"))
+    b = df.select(F.col(id_col).alias("id2"), _as_double(F.col(vec_col)).alias("_v2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("_v1"), F.col("_v2")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )

@@ -1,0 +1,125 @@
+"""Dedup + similarity operators: LSH recall vs exact, lossless simhash
+banding, ANN recall vs brute force, exact-dedup invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators import dedup, similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def _pairs(df):
+    return {(r["id1"], r["id2"]) for r in df.collect()}
+
+
+def test_minhash_lsh_matches_exact_join(docs):
+    """LSH candidates verified with exact Jaccard must equal the exact
+    inverted-index all-pairs join at the same threshold (recall check —
+    false positives are impossible by construction)."""
+    lsh = _pairs(dedup.minhash_lsh_pairs(docs, threshold=0.8))
+    exact = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.8))
+    assert lsh == exact
+    assert len(exact) > 0  # fixture contains real near-dups
+
+
+def test_ngram_jaccard_df_cap_keeps_high_sim_pairs(docs):
+    """Dropping ultra-frequent shingles from candidate generation must not
+    lose high-similarity pairs (they share rare shingles too)."""
+    full = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.9))
+    capped = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.9, max_shingle_df=50))
+    assert full == capped
+
+
+def test_simhash_banded_join_is_lossless(spark, docs):
+    """Banded simhash join (pigeonhole-lossless for hamming <= bands-1)
+    must equal the brute-force O(n^2) scan."""
+    sub = docs.limit(80).cache()
+    banded = {
+        (r["id1"], r["id2"], r["hamming"])
+        for r in dedup.simhash_pairs(sub, max_hamming=3, bands=4).collect()
+    }
+    sh = sub.select(F.col("doc_id").alias("_id"), dedup.simhash_expr(F.col("text")).alias("s"))
+    a = sh.select(F.col("_id").alias("id1"), F.col("s").alias("s1"))
+    b = sh.select(F.col("_id").alias("id2"), F.col("s").alias("s2"))
+    brute = {
+        (r["id1"], r["id2"], r["hamming"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", dedup.hamming_expr(F.col("s1"), F.col("s2")).alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+    sub.unpersist()
+
+
+def test_exact_dedup_partitions_rows(docs):
+    """Every row lands in exactly one hash group; injected exact copies
+    collapse into their source's group."""
+    groups = dedup.exact_dedup(docs).collect()
+    assert sum(r["group_size"] for r in groups) == docs.count()
+    assert all(r["group_size"] == 1 for r in groups)  # fixture has no exact dups
+    # inject exact duplicates → groups collapse
+    with_dups = docs.unionAll(docs.limit(20).withColumn("doc_id", F.col("doc_id") + 100000))
+    dup_groups = dedup.exact_dedup(with_dups).collect()
+    assert sum(r["group_size"] for r in dup_groups) == docs.count() + 20
+    assert sum(1 for r in dup_groups if r["group_size"] == 2) == 20
+    # representative is the min id — the original, not the injected copy
+    assert all(r["kept_id"] < 100000 for r in dup_groups)
+
+
+def test_ann_lsh_recall_vs_brute_force(emb):
+    qv = [float(x) for x in emb.filter("vec_id = 7").select("embedding").first()[0]]
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(emb.filter("vec_id <> 7"), qv, 10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in similarity.ann_lsh_topk(
+            emb.filter("vec_id <> 7"), qv, 10, planes=6, probe_hamming=2
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.4, f"recall@10={recall}"
+    # the probe must actually prune: far fewer candidates than rows
+    hp = similarity.random_hyperplanes(len(qv), 6)
+    qb = "".join("1" if sum(q * h for q, h in zip(qv, hrow)) >= 0 else "0" for hrow in hp)
+    buckets = similarity._probe_buckets(qb, 2)
+    pruned = emb.withColumn("_b", similarity.lsh_bucket_expr(F.col("embedding"), hp)).filter(
+        F.col("_b").isin(buckets)
+    )
+    assert pruned.count() < emb.count()
+
+
+def test_ivf_centroids_separate_labels(emb):
+    """Nearest-centroid assignment must carry real signal vs the generating
+    label (the fixture's clusters are loose — cosine accuracy ≈ 0.37 vs 0.10
+    chance for 10 labels — so the gate is better-than-chance, measured)."""
+    cents = [
+        (r["label"], [float(x) for x in r["centroid"]])
+        for r in similarity.label_centroids(emb).collect()
+    ]
+    assert len(cents) == 10 and all(len(v) == 64 for _, v in cents)
+    assigned = similarity.centroid_assign(emb, cents)
+    joined = assigned.join(emb.select("vec_id", "label"), "vec_id")
+    acc = joined.filter(F.col("cell") == F.col("label")).count() / joined.count()
+    assert acc >= 0.25, f"centroid assignment accuracy {acc}"
+    # every vector lands in exactly one cell
+    assert assigned.count() == emb.count()
+
+
+def test_embedding_near_dup_symmetric_bound(emb):
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.45)
+    rows = pairs.collect()
+    assert all(r["id1"] < r["id2"] and r["cosine"] >= 0.45 for r in rows)

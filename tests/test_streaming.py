@@ -1,0 +1,52 @@
+"""Structured Streaming lift: file-source scoring stream + windowed
+watermarked metrics + foreachBatch parquet sink."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_profiler_spark.streaming import scoring
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, pages, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages_src"))
+    pages.limit(200).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_scoring_end_to_end(spark, pages_dir, tmp_path):
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(pages_dir).schema
+    stream = spark.readStream.schema(schema).parquet(pages_dir)
+    assert stream.isStreaming
+    q = scoring.start_scoring_stream(stream, out, ckpt)
+    q.awaitTermination(300)
+    written = spark.read.parquet(out)
+    assert written.count() == 200
+    assert "keep" in written.columns and "scrubbed_text" in written.columns
+    # restart with same checkpoint: availableNow finds nothing new → no dup rows
+    stream2 = spark.readStream.schema(schema).parquet(pages_dir)
+    q2 = scoring.start_scoring_stream(stream2, out, ckpt)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out).count() == 200
+
+
+def test_windowed_keep_metrics(spark, pages_dir, tmp_path):
+    schema = spark.read.parquet(pages_dir).schema
+    stream = spark.readStream.schema(schema).parquet(pages_dir)
+    metrics = scoring.windowed_keep_metrics(scoring.score_stream(stream), "24 hours", "48 hours")
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName("keep_metrics")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM keep_metrics").collect()
+    assert rows, "windowed aggregation produced no rows"
+    assert all(r["rows"] >= r["kept"] >= 0 for r in rows)
+    assert {"window_start", "window_end", "lang_pred", "rows", "kept"} <= set(rows[0].asDict())
