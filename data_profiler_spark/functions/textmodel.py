@@ -89,26 +89,62 @@ class PerplexityModel:
         return out
 
 
+_MODEL_CACHE_DIR = "/tmp/data_profiler_spark_models"
+_MODEL_VERSION = "v1"  # bump when featurization/training changes
+
+
+def _load_or_train(name: str, train_fn):
+    """Per-HOST weight cache: the first worker to need a model trains it and
+    atomically publishes the .npz; every other worker (and every respawned
+    worker — python workers are not guaranteed to live across stages) loads
+    in milliseconds instead of re-training inside a task. On a multi-node
+    cluster, pre-train on the driver and ship the same file via
+    ``SparkContext.addFile`` / ``spark-submit --files``; weights are a pure
+    function of the seed, so every path yields identical bytes."""
+    import os
+    import tempfile
+
+    path = os.path.join(_MODEL_CACHE_DIR, f"{name}_{_MODEL_VERSION}.npz")
+    if os.path.exists(path):
+        try:
+            return dict(np.load(path, allow_pickle=False))
+        except Exception:  # partial/corrupt file — retrain and re-publish
+            pass
+    arrays = train_fn()
+    os.makedirs(_MODEL_CACHE_DIR, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=_MODEL_CACHE_DIR, suffix=".npz")
+    os.close(fd)
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)  # atomic: concurrent trainers publish identical bytes
+    return arrays
+
+
 @lru_cache(maxsize=1)
 def langid_model() -> LangIdModel:
-    """Train the seeded model once per process (executors train identically
-    from the same seed — equivalent to broadcasting fitted weights, without
-    shipping a binary blob; the weights ARE a function of the seed)."""
-    langs = corpus.LANGS
-    rows = []
-    for lang in langs:
-        V = np.stack([doc_vector(t) for t in corpus.training_corpus(lang)])
-        c = V.mean(axis=0)
-        rows.append(c / np.linalg.norm(c))
-    return LangIdModel(langs=langs, centroids=np.stack(rows))
+    """Seeded model, trained once per host (equivalent to broadcasting
+    fitted weights: they are a pure function of the seed)."""
+
+    def train():
+        rows = []
+        for lang in corpus.LANGS:
+            V = np.stack([doc_vector(t) for t in corpus.training_corpus(lang)])
+            c = V.mean(axis=0)
+            rows.append(c / np.linalg.norm(c))
+        return {"centroids": np.stack(rows)}
+
+    arrays = _load_or_train("langid", train)
+    return LangIdModel(langs=corpus.LANGS, centroids=arrays["centroids"])
 
 
 @lru_cache(maxsize=1)
 def perplexity_model() -> PerplexityModel:
-    counts = np.zeros(PPL_DIM, dtype=np.float64)
-    for t in corpus.training_corpus("en"):
-        buckets = _ngram_buckets(t, 4, PPL_DIM)
-        counts += np.bincount(buckets, minlength=PPL_DIM)
-    total = counts.sum()
-    log_probs = np.log((counts + 1.0) / (total + PPL_DIM))
-    return PerplexityModel(log_probs=log_probs)
+    def train():
+        counts = np.zeros(PPL_DIM, dtype=np.float64)
+        for t in corpus.training_corpus("en"):
+            buckets = _ngram_buckets(t, 4, PPL_DIM)
+            counts += np.bincount(buckets, minlength=PPL_DIM)
+        total = counts.sum()
+        return {"log_probs": np.log((counts + 1.0) / (total + PPL_DIM))}
+
+    arrays = _load_or_train("perplexity", train)
+    return PerplexityModel(log_probs=arrays["log_probs"])

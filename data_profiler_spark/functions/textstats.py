@@ -42,12 +42,12 @@ def _count_occurrences(c: Column, token: str) -> Column:
     return (F.length(c) - F.length(F.replace(c, F.lit(token), F.lit("")))) / len(token)
 
 
-def signals_expr(text_col: str = "text") -> Column:
-    """One struct column with every quality signal — computed in a single
-    projection so Catalyst CSEs the shared ``words``/``lines`` arrays."""
-    c = F.col(text_col)
-    words = words_expr(c)
-    lines = lines_expr(c)
+def signals_from_parts(c: Column, words: Column, lines: Column) -> Column:
+    """Quality-signal struct from (text, words, lines). Pass MATERIALIZED
+    words/lines columns (attribute refs): every signal references them, and
+    inline expressions would be copied into each signal — a ~10× expression
+    tree blow-up that shows up directly as whole-stage-codegen compile time
+    (measured tens of seconds for the inline form)."""
     wc = F.size(words)
     lc = F.size(lines)
     total_word_len = F.aggregate(
@@ -86,8 +86,25 @@ def signals_expr(text_col: str = "text") -> Column:
     )
 
 
+def signals_expr(text_col: str = "text") -> Column:
+    """Single-Column form of the signal struct (inline words/lines trees —
+    convenient for ad-hoc use; plans should prefer :func:`with_signals`,
+    which materializes the shared arrays first)."""
+    c = F.col(text_col)
+    return signals_from_parts(c, words_expr(c), lines_expr(c))
+
+
 def with_signals(df: DataFrame, text_col: str = "text", out: str = "signals") -> DataFrame:
-    return df.withColumn(out, signals_expr(text_col))
+    """Tree-size-friendly path: words/lines land in their own projection
+    (multi-referenced expensive aliases survive CollapseProject), signals
+    reference them as attributes."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("_words", words_expr(c))
+        .withColumn("_lines", lines_expr(c))
+        .withColumn(out, signals_from_parts(c, F.col("_words"), F.col("_lines")))
+        .drop("_words", "_lines")
+    )
 
 
 def heuristic_drop_reasons_expr(sig: Column) -> Column:

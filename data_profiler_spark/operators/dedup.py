@@ -46,6 +46,18 @@ DEFAULT_ROWS_PER_BAND = 2
 DEFAULT_SHINGLE = 3
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input arrives
+    under-partitioned (e.g. one small parquet file → one partition, which
+    would serialize the whole shingle/minhash computation onto one task).
+    No-op when the scan already has enough splits — large inputs never pay
+    an extra shuffle here."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokens_expr(c: Column) -> Column:
     """ASCII-whitespace tokens, empties dropped (same split semantics as
     functions/textstats.py — one tokenizer across the engine)."""
@@ -96,7 +108,9 @@ def jaccard_expr(a: Column, b: Column) -> Column:
 
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, shingle: int) -> DataFrame:
-    return df.select(F.col(id_col).alias("_id"), shingles_expr(F.col(text_col), shingle).alias("_sh"))
+    return _widen(df).select(
+        F.col(id_col).alias("_id"), shingles_expr(F.col(text_col), shingle).alias("_sh")
+    )
 
 
 def _verify_pairs(cand: DataFrame, sets: DataFrame, id_col: str, threshold: float) -> DataFrame:
@@ -131,11 +145,24 @@ def minhash_lsh_pairs(
     the (r, b) S-curve threshold.
     """
     sets = _shingle_sets(df, id_col, text_col, shingle)
-    sig = sets.select(
-        "_id",
-        lsh_band_keys_expr(minhash_signature_expr(F.col("_sh"), num_perm), num_perm, rows_per_band).alias("_bands"),
+    # Two-step projection (shingles → signature → bands) so each band key
+    # references the signature ATTRIBUTE, not a copy of its expression:
+    # inlining the 16-perm signature into all 8 band keys would blow the
+    # expression tree up ~128× (whole-stage codegen compile measured in
+    # tens of seconds). CollapseProject keeps multi-referenced expensive
+    # aliases materialized, so these stay separate projections.
+    sig = sets.select("_id", minhash_signature_expr(F.col("_sh"), num_perm).alias("_sig"))
+    bands = sig.select(
+        "_id", lsh_band_keys_expr(F.col("_sig"), num_perm, rows_per_band).alias("_bands")
     )
-    melted = sig.select("_id", F.posexplode("_bands").alias("band_id", "key"))
+    # posexplode_OUTER: plain posexplode adds an implicit `size(_bands) > 0`
+    # filter whose predicate embeds the ENTIRE minhash expression; predicate
+    # pushdown then drags that below the repartition exchange and evaluates
+    # it on the raw (possibly single-partition) scan — serializing the whole
+    # signature computation. The bands array is a literal-width F.array, so
+    # the outer variant is semantically identical and keeps the heavy
+    # expression above the exchange.
+    melted = bands.select("_id", F.posexplode_outer("_bands").alias("band_id", "key"))
     a = melted.select(F.col("_id").alias("id1"), "band_id", "key")
     b = melted.select(F.col("_id").alias("id2"), "band_id", "key")
     cand = (
@@ -157,21 +184,57 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard join via inverted index on shingle.
 
+    Without a cap the whole computation is count-shaped — no shingle arrays
+    ever cross a shuffle: the pair-wise shared-shingle count comes straight
+    from ``groupBy(id1, id2).count()`` over the inverted-index self-join,
+    and ``J = shared / (|A| + |B| - shared)`` needs only the two set sizes
+    (a tiny broadcast-sized side table). This is the at-scale shape: shuffle
+    volume is (shingle, id) pairs + candidate pairs, never documents.
+
     ``max_shingle_df`` (document-frequency cap) is the web-scale knob: a
     shingle appearing in more than that many docs is dropped from candidate
     generation (its pairs are found through their rarer shingles anyway for
-    any threshold high enough that rare shingles are shared). None keeps
-    everything — fully exact at any threshold > 0.
+    any threshold high enough that rare shingles are shared). With a cap the
+    shared counts from the pruned index are partial, so candidates are
+    re-verified against the full shingle sets (arrays travel only for the
+    few candidate pairs).
     """
     sets = _shingle_sets(df, id_col, text_col, shingle)
-    inv = sets.select("_id", F.explode("_sh").alias("shingle"))
+    # explode_outer + null-filter: see the posexplode_outer note in
+    # minhash_lsh_pairs — plain explode's implicit size()>0 filter would
+    # push the whole shingle expression below the repartition exchange.
+    inv = sets.select("_id", F.explode_outer("_sh").alias("shingle")).filter(
+        F.col("shingle").isNotNull()
+    )
     if max_shingle_df is not None:
         freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        inv = inv.join(freq.filter(F.col("df") <= max_shingle_df), "shingle")
+        pruned = inv.join(freq.filter(F.col("df") <= max_shingle_df), "shingle")
+        a = pruned.select(F.col("_id").alias("id1"), "shingle")
+        b = pruned.select(F.col("_id").alias("id2"), "shingle")
+        cand = (
+            a.join(b, "shingle").filter(F.col("id1") < F.col("id2")).select("id1", "id2").distinct()
+        )
+        return _verify_pairs(cand, sets, id_col, threshold)
     a = inv.select(F.col("_id").alias("id1"), "shingle")
     b = inv.select(F.col("_id").alias("id2"), "shingle")
-    cand = a.join(b, "shingle").filter(F.col("id1") < F.col("id2")).select("id1", "id2").distinct()
-    return _verify_pairs(cand, sets, id_col, threshold)
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    sizes = sets.select("_id", F.size("_sh").alias("_sz"))
+    s1 = sizes.select(F.col("_id").alias("id1"), F.col("_sz").alias("_sz1"))
+    s2 = sizes.select(F.col("_id").alias("id2"), F.col("_sz").alias("_sz2"))
+    return (
+        shared.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "jaccard", F.col("_shared") / (F.col("_sz1") + F.col("_sz2") - F.col("_shared"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 # --------------------------------------------------------------------------
@@ -182,6 +245,19 @@ SIMHASH_BITS = 16
 _HI_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 
+def simhash_from_tokens(toks: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash from a (materialized) distinct-token array column. Pass an
+    attribute reference, not an inline expression — the ``bits`` vote
+    expressions each reference the array, and an inline tree would be
+    duplicated ``bits`` times in codegen."""
+    n = F.size(toks)
+    votes = [
+        F.size(F.filter(toks, lambda t: F.substring(F.md5(t), i + 1, 1).isin(*_HI_HEX)))
+        for i in range(bits)
+    ]
+    return F.concat(*[F.when(v * 2 > n, F.lit("1")).otherwise(F.lit("0")) for v in votes])
+
+
 def simhash_expr(c: Column, bits: int = SIMHASH_BITS) -> Column:
     """SimHash over distinct tokens as a ``bits``-char '0'/'1' string.
 
@@ -189,15 +265,10 @@ def simhash_expr(c: Column, bits: int = SIMHASH_BITS) -> Column:
     md5(token)). A string representation keeps the computation expressible
     in any engine; at production scale the same votes pack into a long via
     ``conv``. 16 bits suffice for banded Hamming-<=3 joins; widen ``bits``
-    (md5 yields 128) for finer granularity.
+    (md5 yields 128) for finer granularity. Prefer materializing the token
+    array and calling :func:`simhash_from_tokens` in plans (tree size).
     """
-    toks = F.array_distinct(tokens_expr(c))
-    n = F.size(toks)
-    votes = [
-        F.size(F.filter(toks, lambda t: F.substring(F.md5(t), i + 1, 1).isin(*_HI_HEX)))
-        for i in range(bits)
-    ]
-    return F.concat(*[F.when(v * 2 > n, F.lit("1")).otherwise(F.lit("0")) for v in votes])
+    return simhash_from_tokens(F.array_distinct(tokens_expr(c)), bits)
 
 
 def hamming_expr(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
@@ -225,14 +296,23 @@ def simhash_pairs(
     """
     assert max_hamming <= bands - 1, "banded join only lossless for max_hamming <= bands-1"
     width = bits // bands
-    sh = df.select(F.col(id_col).alias("_id"), simhash_expr(F.col(text_col), bits).alias("_sim"))
+    sh = (
+        _widen(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(tokens_expr(F.col(text_col))).alias("_toks"),
+        )
+        .select("_id", simhash_from_tokens(F.col("_toks"), bits).alias("_sim"))
+    )
     band_cols = F.array(
         *[
             F.concat(F.lit(f"{b}:"), F.substring("_sim", b * width + 1, width))
             for b in range(bands)
         ]
     )
-    melted = sh.select("_id", "_sim", F.explode(band_cols).alias("key"))
+    # explode_outer: see minhash_lsh_pairs — avoids the implicit size()>0
+    # pushdown filter that would serialize simhash computation at the scan.
+    melted = sh.select("_id", "_sim", F.explode_outer(band_cols).alias("key"))
     a = melted.select(F.col("_id").alias("id1"), F.col("_sim").alias("_s1"), "key")
     b = melted.select(F.col("_id").alias("id2"), F.col("_sim").alias("_s2"), "key")
     return (

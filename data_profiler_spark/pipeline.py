@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from . import rules
 from .functions.langid import langid_udf, log_perplexity_udf
 from .functions.pii import pii_counts_expr, scrub_expr
-from .functions.textstats import heuristic_drop_reasons_expr, signals_expr
+from .functions.textstats import heuristic_drop_reasons_expr, with_signals
 
 SALT_BUCKETS = 256
 
@@ -54,8 +54,7 @@ def score_pages(df: DataFrame, keep_langs: tuple[str, ...] = rules.KEEP_LANGS) -
     signals struct, lang_pred, lang_margin, log_ppl, pii_counts struct,
     scrubbed_text, drop_reasons array<string>, keep boolean.
     """
-    sig = signals_expr("text")
-    out = df.withColumn("signals", sig)
+    out = with_signals(df, "text", "signals")
     lid = langid_udf(F.col("text"))
     out = out.withColumn("lang_pred", lid["lang_pred"]).withColumn(
         "lang_margin", lid["margin"]

@@ -57,6 +57,13 @@ def get_spark(
             "spark.executorEnv.PYTHONPATH",
             str(_Path(__file__).resolve().parents[1]),
         )
+        # One BLAS thread per python worker: N workers × default BLAS
+        # threadpool (ncores each) oversubscribes the box quadratically —
+        # measured 2× wall-clock on the langid matmul at local[32]. Task
+        # parallelism comes from Spark, not from nested BLAS threads.
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -32,6 +32,9 @@ def test_scoring_distribution_sane(pages):
 
 def test_run_write_and_resume(pages, tmp_path):
     out = str(tmp_path / "filtered")
+    # restrict to 4 warc_ts months: batch count, not per-batch volume, is
+    # what the resume logic exercises (24 month-jobs is just test overhead)
+    pages = pages.filter(F.col("warc_ts") < F.lit("2023-05-01")).cache()
     pipe = QualityFilterPipeline(pages.sparkSession, out)
     res1 = pipe.run(pages, run_id="r1")
     assert res1.batches and not res1.resumed_batches
