@@ -37,6 +37,7 @@ from . import rules
 from .functions.langid import langid_udf, log_perplexity_udf
 from .functions.pii import pii_counts_expr, scrub_expr
 from .functions.textstats import heuristic_drop_reasons_expr, with_signals
+from .io import catalog
 
 SALT_BUCKETS = 256
 
@@ -119,11 +120,17 @@ class QualityFilterPipeline:
         output_path: str,
         keep_langs: tuple[str, ...] = rules.KEEP_LANGS,
         salt_buckets: int = SALT_BUCKETS,
+        table: str | None = None,
     ):
+        """``output_path`` holds the run manifest (+ parquet data in the
+        filesystem fallback). Pass ``table`` (e.g. ``lake.db.pages_filtered``)
+        to commit batches to an Iceberg catalog table instead — each batch
+        then lands as one ``overwritePartitions`` snapshot (io/catalog.py)."""
         self.spark = spark
         self.output_path = output_path
         self.keep_langs = keep_langs
         self.salt_buckets = salt_buckets
+        self.table = table
 
     # -- manifest (run workspace, reference workspace.py:71-357 analog) --
     def _manifest_path(self) -> str:
@@ -175,12 +182,11 @@ class QualityFilterPipeline:
             )
             obs, exprs = _metrics_observation()
             scored = scored.observe(obs, *exprs)
-            (
-                scored.repartition(F.col("salt"))
-                .drop("salt")
-                .write.mode("overwrite")
-                .partitionBy("month")
-                .parquet(os.path.join(self.output_path, "data"))
+            catalog.write_partitioned(
+                scored.repartition(F.col("salt")).drop("salt"),
+                self.table or os.path.join(self.output_path, "data"),
+                ["month"],
+                mode="overwrite-partitions",
             )
             metrics = {k: v for k, v in obs.get.items()}
             entry = {
