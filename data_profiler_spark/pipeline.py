@@ -150,14 +150,41 @@ class QualityFilterPipeline:
             json.dump(m, f, indent=2, default=str)
         os.replace(tmp, self._manifest_path())
 
-    def run(self, pages: DataFrame, run_id: str = "run-0") -> RunResult:
+    def validate(self, pages: DataFrame, max_invalid_utf8: int = 0) -> dict:
+        """Cheap validate-first gate (SURVEY.md §7.3.6): aggregate UTF-8
+        verdicts over the html payloads BEFORE the expensive scoring stage.
+        The reference stops at the first catastrophic byte
+        (``ingest.py:155-179``); the lazy-engine equivalent is one cheap
+        full-pass count that gates the pipeline — same observable outcome.
+        Returns the report dict; raises when the threshold is exceeded."""
+        from .io.intake import utf8_report
+
+        r = utf8_report(pages, "html").collect()[0].asDict()
+        if (r["invalid_count"] or 0) > max_invalid_utf8:
+            raise ValueError(
+                f"E_UTF8_INVALID: {r['invalid_count']} invalid payloads "
+                f"(first bad byte offset {r['min_error_offset']}) — "
+                f"catastrophic gate (threshold {max_invalid_utf8})"
+            )
+        return r
+
+    def run(
+        self,
+        pages: DataFrame,
+        run_id: str = "run-0",
+        validate_first: bool = False,
+        max_invalid_utf8: int = 0,
+    ) -> RunResult:
         """Score + write, one committed batch per warc_ts month.
 
         Already-committed batches (same run_id) are skipped — resume from
         the last completed snapshot. Each batch write uses dynamic
         partition overwrite, so a re-run of an incomplete batch replaces
-        rather than duplicates (idempotent).
+        rather than duplicates (idempotent). ``validate_first`` runs the
+        catastrophic UTF-8 gate before any scoring work.
         """
+        if validate_first:
+            self.validate(pages, max_invalid_utf8)
         manifest = self._load_manifest()
         if manifest.get("run_id") != run_id:
             manifest = {"run_id": run_id, "state": "processing", "completed_batches": {}}

@@ -78,6 +78,19 @@ def test_jagged_row_report(spark, tmp_path):
     assert rep == {3: 2, 2: 1, 4: 1}
 
 
+def test_gzip_csv_intake(spark, tmp_path):
+    """S1: codec auto-detection by extension — gzipped CSVs read
+    transparently (reference decompresses by suffix/magic,
+    ``runs.py:374-382``)."""
+    import gzip
+
+    p = tmp_path / "data.csv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("a|b\n1|x\n2|y\n")
+    df = spark.read.option("header", True).option("sep", "|").csv(str(p))
+    assert df.count() == 2 and df.columns == ["a", "b"]
+
+
 def test_read_csv_with_errors(spark, tmp_path):
     p = tmp_path / "q.csv"
     p.write_text('a|b\n1|"ok"\n2|"broken\n')

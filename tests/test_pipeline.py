@@ -30,6 +30,19 @@ def test_scoring_distribution_sane(pages):
     assert kept_by_class.get("clean", 0) >= 0.95 * sum(kept_by_class.values())
 
 
+def test_validate_first_gate(pages, tmp_path):
+    import pytest
+
+    pipe = QualityFilterPipeline(pages.sparkSession, str(tmp_path / "g"))
+    # synth injects ~0.5% invalid UTF-8 html payloads → strict gate trips
+    with pytest.raises(ValueError, match="E_UTF8_INVALID"):
+        pipe.run(pages, run_id="g1", validate_first=True)
+    # a tolerant threshold lets the report pass through
+    report = pipe.validate(pages, max_invalid_utf8=pages.count())
+    assert report["total"] == pages.count()
+    assert report["invalid_count"] > 0
+
+
 def test_run_write_and_resume(pages, tmp_path):
     out = str(tmp_path / "filtered")
     # restrict to 4 warc_ts months: batch count, not per-batch volume, is

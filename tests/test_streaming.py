@@ -33,6 +33,39 @@ def test_stream_scoring_end_to_end(spark, pages_dir, tmp_path):
     assert spark.read.parquet(out).count() == 200
 
 
+def test_stateful_dedup_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: first-seen-per-key dedup must hold ACROSS
+    micro-batches (state carries), not just within one."""
+    from data_profiler_spark.streaming.stateful import dedup_stream
+
+    src = tmp_path / "src"
+    rows1 = [("h1", "u1", "a"), ("h1", "u2", "b"), ("h2", "u9", "c")]
+    rows2 = [("h1", "u1", "DUP"), ("h1", "u3", "d"), ("h2", "u9", "DUP")]
+    schema = "host string, url string, payload string"
+    # one file per micro-batch (maxFilesPerTrigger=1)
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    deduped = dedup_stream(stream, "host", "url", ["payload"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {(r["host"], r["url"]): r["payload"] for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    # u1 and u9 appear exactly once, with the FIRST payload; u3 passes
+    assert got == {("h1", "u1"): "a", ("h1", "u2"): "b", ("h2", "u9"): "c", ("h1", "u3"): "d"}
+
+
 def test_windowed_keep_metrics(spark, pages_dir, tmp_path):
     schema = spark.read.parquet(pages_dir).schema
     stream = spark.readStream.schema(schema).parquet(pages_dir)
