@@ -518,6 +518,29 @@ def q_candidate_keys_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each event matched to the latest
+    order of the same key at-or-before its time; per-user rollup (tie-
+    stable aggregates only — max of matched ts, counts)."""
+    from data_profiler_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("t")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("timestamp").alias("t"), "o_orderkey"
+    )
+    joined = asof_join(
+        events, orders, on="t", by_left="user_id", by_right="o_custkey",
+        value_cols=["o_orderkey"],
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("_asof_ts").alias("n_matched"),
+        F.max("_asof_ts").alias("last_asof_ts"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_nchars": q_profile_nchars,
@@ -552,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moments_nchars": q_moments_nchars,
         "error_rollup": q_error_rollup,
         "candidate_keys_customer": q_candidate_keys_customer,
+        "events_asof_orders": q_events_asof_orders,
     }
 
 
@@ -953,6 +977,15 @@ _ORACLE.update(
             FROM e, t GROUP BY code, total
         """,
         "candidate_keys_customer": _candidate_keys_sql(),
+        "events_asof_orders": """
+            WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS t FROM events),
+            o AS (SELECT o_custkey, o_orderdate::TIMESTAMP AS t FROM orders)
+            SELECT e.user_id, count(*) AS n_events,
+                   count(o.t) AS n_matched,
+                   max(o.t) AS last_asof_ts
+            FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND o.t <= e.t
+            GROUP BY e.user_id
+        """,
     }
 )
 
