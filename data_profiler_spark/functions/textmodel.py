@@ -49,8 +49,48 @@ def _ngram_buckets(text: str, n: int, dim: int) -> np.ndarray:
     return acc % dim
 
 
+def _batch_ngram_buckets(texts: list[str], n: int, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_idx, bucket) pairs for ALL documents at once: one rolling hash
+    over the concatenated byte buffer, windows crossing a document boundary
+    masked out. Produces byte-identical buckets to per-doc
+    ``_ngram_buckets`` (same arithmetic on the same windows) with zero
+    per-document Python — the whole batch is ~10 numpy ops."""
+    bufs = [t.encode("utf-8") for t in texts]
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    buf = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.int64)
+    m = buf.size - n + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    acc = np.zeros(m, dtype=np.int64)
+    for i in range(n):
+        acc = acc * 31 + buf[i : m + i]
+        acc %= 1 << 40
+    doc_of = np.repeat(np.arange(len(bufs), dtype=np.int64), lens)
+    valid = doc_of[:m] == doc_of[n - 1 : n - 1 + m]
+    return doc_of[:m][valid], acc[valid] % dim
+
+
+_DOC_CHUNK = 2048  # bounds the (chunk × dim) dense matrix to ~32 MB
+
+
+def doc_matrix(texts: list[str], dim: int = LANGID_DIM) -> np.ndarray:
+    """(N, dim) L2-normalized hashed-trigram matrix — the batch-vectorized
+    twin of ``doc_vector`` (identical rows; empty docs stay zero)."""
+    N = len(texts)
+    M = np.zeros((N, dim), dtype=np.float64)
+    for lo in range(0, N, _DOC_CHUNK):
+        chunk = texts[lo : lo + _DOC_CHUNK]
+        docs, buckets = _batch_ngram_buckets(chunk, 3, dim)
+        if docs.size:
+            flat = np.bincount(docs * dim + buckets, minlength=len(chunk) * dim)
+            M[lo : lo + len(chunk)] = flat.reshape(len(chunk), dim)
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0] = 1.0
+    return M / norms[:, None]
+
+
 def doc_vector(text: str) -> np.ndarray:
-    """L2-normalized hashed-trigram count vector."""
+    """L2-normalized hashed-trigram count vector (single-doc form)."""
     buckets = _ngram_buckets(text, 3, LANGID_DIM)
     v = np.bincount(buckets, minlength=LANGID_DIM).astype(np.float64)
     norm = np.linalg.norm(v)
@@ -67,7 +107,7 @@ class LangIdModel:
         margin = best − second-best cosine (confidence proxy)."""
         if not texts:
             return [], np.empty(0)
-        X = np.stack([doc_vector(t or "") for t in texts])  # (N, D)
+        X = doc_matrix([t or "" for t in texts])  # (N, D), fully vectorized
         scores = X @ self.centroids.T  # (N, L)
         order = np.argsort(scores, axis=1)
         best = order[:, -1]
@@ -82,15 +122,17 @@ class PerplexityModel:
     log_probs: np.ndarray  # (PPL_DIM,)
 
     def log_perplexity_batch(self, texts: list[str]) -> np.ndarray:
-        out = np.empty(len(texts))
-        for i, t in enumerate(texts):
-            buckets = _ngram_buckets(t or "", 4, PPL_DIM)
-            out[i] = -self.log_probs[buckets].mean() if buckets.size else _INF
-        return out
+        n = len(texts)
+        if n == 0:
+            return np.empty(0)
+        docs, buckets = _batch_ngram_buckets([t or "" for t in texts], 4, PPL_DIM)
+        sums = np.bincount(docs, weights=self.log_probs[buckets], minlength=n)
+        counts = np.bincount(docs, minlength=n)
+        return np.where(counts > 0, -sums / np.maximum(counts, 1), _INF)
 
 
 _MODEL_CACHE_DIR = "/tmp/data_profiler_spark_models"
-_MODEL_VERSION = "v1"  # bump when featurization/training changes
+_MODEL_VERSION = "v2"  # bump when featurization/training changes
 
 
 def _load_or_train(name: str, train_fn):
@@ -127,7 +169,7 @@ def langid_model() -> LangIdModel:
     def train():
         rows = []
         for lang in corpus.LANGS:
-            V = np.stack([doc_vector(t) for t in corpus.training_corpus(lang)])
+            V = doc_matrix(corpus.training_corpus(lang))
             c = V.mean(axis=0)
             rows.append(c / np.linalg.norm(c))
         return {"centroids": np.stack(rows)}
