@@ -169,6 +169,81 @@ def q_date_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_counts_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 case-insensitive variant (reference distincts.py:175-177):
+    distinct counting over lower(trim(value)) via the operator itself."""
+    df = _t(spark, sf_dir, "documents")
+    return P.distinct_report(df, ["lang", "source", "text"], case_sensitive=False)
+
+
+_DATETIME_PAT = "^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}$"
+
+
+def _date_ext_col():
+    """Synthetic mixed column: datetime strings, DD/MM/YYYY strings (day>12
+    values are DD/MM-only; day<=12 also parse as MM/DD), ISO dates."""
+    d = F.col("o_orderdate").cast("date")
+    k = F.col("o_orderkey")
+    dt = F.concat(
+        F.date_format(d, "yyyy-MM-dd"),
+        F.lit(" "),
+        F.format_string(
+            "%02d:%02d:%02d",
+            F.pmod(k, F.lit(24)).cast("int"),
+            F.pmod(k, F.lit(60)).cast("int"),
+            F.pmod(k * 3, F.lit(60)).cast("int"),
+        ),
+    )
+    m = F.pmod(k, F.lit(3))
+    return (
+        F.when(m == 0, dt)
+        .when(m == 1, F.date_format(d, "dd/MM/yyyy"))
+        .otherwise(F.date_format(d, "yyyy-MM-dd"))
+    )
+
+
+def q_date_formats_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 extended: datetime format (reference profile.py:695) + DD/MM/YYYY
+    ambiguity crediting (profile.py:699-700,851-859) — DD/MM credited only
+    when no MM/DD value exists; has_ambiguity per the reference rule."""
+    df = _t(spark, sf_dir, "orders").withColumn("ds", _date_ext_col())
+    c = F.col("ds")
+    fmts = dict((n, (p, s)) for n, p, s in V.DATE_FORMATS)
+    dt = V.parsed_date(c, *fmts["YYYY-MM-DD HH:MM:SS"])
+    iso = V.parsed_date(c, *fmts["YYYY-MM-DD"])
+    mdy = V.parsed_date(c, *fmts["MM/DD/YYYY"])
+    dmy = V.parsed_date(c, V.DD_MM_YYYY[1], V.DD_MM_YYYY[2])
+    agg = df.agg(
+        F.sum(dt.isNotNull().cast("long")).alias("fmt_datetime"),
+        F.sum(iso.isNotNull().cast("long")).alias("fmt_iso"),
+        F.sum(mdy.isNotNull().cast("long")).alias("fmt_mdy"),
+        F.sum(dmy.isNotNull().cast("long")).alias("fmt_dmy_raw"),
+    )
+    credited = F.when(F.col("fmt_mdy") > 0, F.lit(0)).otherwise(F.col("fmt_dmy_raw"))
+    n_formats = (
+        (F.col("fmt_datetime") > 0).cast("int")
+        + (F.col("fmt_iso") > 0).cast("int")
+        + (F.col("fmt_mdy") > 0).cast("int")
+    )
+    return agg.select(
+        "fmt_datetime",
+        "fmt_iso",
+        "fmt_mdy",
+        "fmt_dmy_raw",
+        credited.cast("long").alias("fmt_dmy_credited"),
+        ((F.col("fmt_mdy") > 0) | (credited > 0) | (n_formats > 1)).cast("int").alias(
+            "has_ambiguity"
+        ),
+    )
+
+
+def q_date_distribution_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: by-month distribution of first-matching-format parsed dates
+    (validators.date_distribution by_month branch)."""
+    df = _t(spark, sf_dir, "orders").withColumn("ds", _date_col())
+    return V.date_distribution(df, "ds")["by_month"]
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing-summary agg (grouped exact aggregates, map-side partials)."""
     df = _t(spark, sf_dir, "lineitem")
@@ -310,12 +385,19 @@ def q_candidate_key_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, exact-Jaccard verified (oracle = exact
-    brute-force threshold join; LSH recall on this fixture is 100%)."""
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified. The oracle is an
+    exact brute-force threshold join, so the LSH candidates are unioned
+    with the exact inverted-index candidates before verification — the
+    result is DETERMINISTICALLY equal to the oracle on any fixture/seed
+    (LSH band recall alone is probabilistic, ~(1-J^2)^8 per-pair miss);
+    the pure-LSH recall contract is gate-checked in
+    tests/test_dedup_similarity.py instead."""
     from data_profiler_spark.operators import dedup
 
     df = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.8).orderBy("id1", "id2")
+    return dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.8, union_exact_candidates=True
+    ).orderBy("id1", "id2")
 
 
 def q_ngram_jaccard_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,12 +423,15 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact at fixture scale)."""
+    """Embedding-cosine near-dup pairs via lossless projection-grid blocking
+    (exact result — recall is 100% by construction, no crossJoin in the
+    plan). Threshold applied to the RAW cosine, rounded once to 4 dp —
+    identical to the oracle's single round."""
     from data_profiler_spark.operators import similarity
 
     df = _t(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_near_dup_pairs(df, threshold=0.45)
-    return pairs.select("id1", "id2", F.round("cosine", 4).alias("cosine")).orderBy("id1", "id2")
+    pairs = similarity.embedding_near_dup_pairs(df, threshold=0.45, round_to=4)
+    return pairs.orderBy("id1", "id2")
 
 
 def q_ivf_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,6 +636,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_stats_text": q_string_stats_text,
         "money_validation": q_money_validation,
         "date_formats": q_date_formats,
+        "date_formats_ext": q_date_formats_ext,
+        "date_distribution_month": q_date_distribution_month,
+        "distinct_counts_ci": q_distinct_counts_ci,
         "tpch_q1": q_tpch_q1,
         "top10_customers_revenue": q_top10_customers_revenue,
         "events_hourly": q_events_hourly,
@@ -685,6 +773,88 @@ _ORACLE: dict[str, str] = {
                sum(CASE WHEN regexp_matches(ds, '^[0-9]{8}$') AND try_strptime(ds, '%Y%m%d') IS NOT NULL
                          AND year(try_strptime(ds, '%Y%m%d')) < 1900 THEN 1 ELSE 0 END)::BIGINT AS out_of_range
         FROM d
+    """,
+    "distinct_counts_ci": """
+        SELECT 'lang' AS column_name,
+               count(*) AS total_count,
+               (count(*) - sum(CASE WHEN lang IS NULL OR trim(lang) = '' THEN 1 ELSE 0 END))::BIGINT AS non_null_count,
+               sum(CASE WHEN lang IS NULL OR trim(lang) = '' THEN 1 ELSE 0 END)::BIGINT AS null_count,
+               sum(CASE WHEN lower(trim(lang)) = '\"\"' THEN 1 ELSE 0 END)::BIGINT AS empty_count,
+               count(DISTINCT CASE WHEN trim(lang) <> '' THEN lower(trim(lang)) END)::BIGINT AS distinct_count,
+               count(DISTINCT CASE WHEN trim(lang) <> '' THEN lower(trim(lang)) END)::DOUBLE
+                 / (count(*) - sum(CASE WHEN lang IS NULL OR trim(lang) = '' THEN 1 ELSE 0 END)) AS cardinality_ratio
+        FROM documents
+        UNION ALL
+        SELECT 'source', count(*),
+               (count(*) - sum(CASE WHEN source IS NULL OR trim(source) = '' THEN 1 ELSE 0 END))::BIGINT,
+               sum(CASE WHEN source IS NULL OR trim(source) = '' THEN 1 ELSE 0 END)::BIGINT,
+               sum(CASE WHEN lower(trim(source)) = '\"\"' THEN 1 ELSE 0 END)::BIGINT,
+               count(DISTINCT CASE WHEN trim(source) <> '' THEN lower(trim(source)) END)::BIGINT,
+               count(DISTINCT CASE WHEN trim(source) <> '' THEN lower(trim(source)) END)::DOUBLE
+                 / (count(*) - sum(CASE WHEN source IS NULL OR trim(source) = '' THEN 1 ELSE 0 END))
+        FROM documents
+        UNION ALL
+        SELECT 'text', count(*),
+               (count(*) - sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END))::BIGINT,
+               sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)::BIGINT,
+               sum(CASE WHEN lower(trim(text)) = '\"\"' THEN 1 ELSE 0 END)::BIGINT,
+               count(DISTINCT CASE WHEN trim(text) <> '' THEN lower(trim(text)) END)::BIGINT,
+               count(DISTINCT CASE WHEN trim(text) <> '' THEN lower(trim(text)) END)::DOUBLE
+                 / (count(*) - sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END))
+        FROM documents
+    """,
+    "date_formats_ext": """
+        WITH d AS (
+          SELECT CASE o_orderkey % 3
+                   WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d') || ' ' ||
+                               printf('%02d:%02d:%02d', o_orderkey % 24, o_orderkey % 60, (o_orderkey * 3) % 60)
+                   WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+                   ELSE strftime(o_orderdate, '%Y-%m-%d')
+                 END AS ds
+          FROM orders
+        ), c AS (
+          SELECT sum(CASE WHEN regexp_matches(ds, '^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}$')
+                           AND try_strptime(ds, '%Y-%m-%d %H:%M:%S') IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS fmt_datetime,
+                 sum(CASE WHEN regexp_matches(ds, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+                           AND try_strptime(ds, '%Y-%m-%d') IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS fmt_iso,
+                 sum(CASE WHEN regexp_matches(ds, '^[0-9]{2}/[0-9]{2}/[0-9]{4}$')
+                           AND try_strptime(ds, '%m/%d/%Y') IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS fmt_mdy,
+                 sum(CASE WHEN regexp_matches(ds, '^[0-9]{2}/[0-9]{2}/[0-9]{4}$')
+                           AND try_strptime(ds, '%d/%m/%Y') IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS fmt_dmy_raw
+          FROM d
+        )
+        SELECT fmt_datetime, fmt_iso, fmt_mdy, fmt_dmy_raw,
+               (CASE WHEN fmt_mdy > 0 THEN 0 ELSE fmt_dmy_raw END)::BIGINT AS fmt_dmy_credited,
+               CASE WHEN fmt_mdy > 0
+                         OR (CASE WHEN fmt_mdy > 0 THEN 0 ELSE fmt_dmy_raw END) > 0
+                         OR ((fmt_datetime > 0)::INT + (fmt_iso > 0)::INT + (fmt_mdy > 0)::INT) > 1
+                    THEN 1 ELSE 0 END AS has_ambiguity
+        FROM c
+    """,
+    "date_distribution_month": """
+        WITH d AS (
+          SELECT CASE
+                   WHEN o_orderkey % 50 = 0 THEN '1899' || strftime(o_orderdate, '%m%d')
+                   WHEN o_orderkey % 4 = 0 THEN strftime(o_orderdate, '%Y%m%d')
+                   WHEN o_orderkey % 4 = 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+                   WHEN o_orderkey % 4 = 2 THEN strftime(o_orderdate, '%m/%d/%Y')
+                   ELSE strftime(o_orderdate, '%m-%d-%Y')
+                 END AS ds
+          FROM orders
+        ), p AS (
+          SELECT CASE
+                   WHEN regexp_matches(ds, '^[0-9]{8}$') THEN try_strptime(ds, '%Y%m%d')
+                   WHEN regexp_matches(ds, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') THEN try_strptime(ds, '%Y-%m-%d')
+                   WHEN regexp_matches(ds, '^[0-9]{4}/[0-9]{2}/[0-9]{2}$') THEN try_strptime(ds, '%Y/%m/%d')
+                   WHEN regexp_matches(ds, '^[0-9]{2}/[0-9]{2}/[0-9]{4}$') THEN try_strptime(ds, '%m/%d/%Y')
+                   WHEN regexp_matches(ds, '^[0-9]{2}-[0-9]{2}-[0-9]{4}$') THEN try_strptime(ds, '%m-%d-%Y')
+                   WHEN regexp_matches(ds, '^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}$')
+                        THEN try_strptime(ds, '%Y-%m-%d %H:%M:%S')
+                 END AS pd
+          FROM d
+        )
+        SELECT strftime(pd, '%Y-%m') AS month, count(*) AS cnt
+        FROM p WHERE pd IS NOT NULL GROUP BY 1
     """,
     "tpch_q1": """
         SELECT l_returnflag, l_linestatus,

@@ -2,7 +2,11 @@
 
 Default: headline queries + the quality-filter scoring pipeline at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]``.
+``local[$SPARK_GRAFT_CPUS]``. Every query is timed on its SECOND run
+(codegen + page-cache + python-worker warm-up excluded — same convention
+as ``--scaling``), and a pure-JVM ``host_marker_sec`` reference workload
+is recorded so round-over-round deltas are attributable to the engine vs
+host noise.
 
 ``--scaling``: runs the scoring job at two parallelism levels
 (``$SPARK_GRAFT_SCALE_CORES``, default ``local[2]`` vs ``local[8]`` —
@@ -38,6 +42,19 @@ SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "200000"))
 # multi-executor cluster.
 _SCALE_CORES = os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8")
 SCALE_LO, SCALE_HI = (int(x) for x in _SCALE_CORES.split(","))
+
+def _minhash_prod(spark, sf_dir):
+    """Production-config MinHash+LSH (pure banded candidates + exact-Jaccard
+    verify). The queries() entry adds an exact-candidate union so the DuckDB
+    correctness gate is deterministic — a fixture-scale shim, not the
+    at-scale path — so the bench times the production configuration."""
+    from data_profiler_spark.operators import dedup
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.8)
+
+
+BENCH_OVERRIDES = {"minhash_lsh_dedup": _minhash_prod}
 
 BENCH_QUERIES = [
     "profile_nchars",
@@ -111,19 +128,18 @@ def main() -> None:
         # (sometimes throttled to ~2 effective cores, flattening every
         # parallelism level to the same throughput). Under such
         # multiplicative noise, min-per-level across SEVERAL time windows
-        # estimates the unthrottled hardware at each level — so run up to
-        # 3 interleaved pairs and stop early once the target efficiency is
-        # demonstrated.
+        # estimates the unthrottled hardware at each level. A FIXED number
+        # of interleaved pairs (no early stop on reaching the target —
+        # optional stopping would bias the reported efficiency upward) and
+        # the efficiency from all rounds is the honest estimator.
         results: dict[int, float] = {}
-        eff = 0.0
-        for _pair in range(3):
+        n_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
+        for _pair in range(n_pairs):
             for cores in (SCALE_LO, SCALE_HI):
                 elapsed = _run_score_round(cores, SCALE_N)
                 results[cores] = min(results.get(cores, float("inf")), elapsed)
                 print(f"# local[{cores}]: {elapsed:.2f}s", file=sys.stderr, flush=True)
-            eff = (results[SCALE_LO] / results[SCALE_HI]) / (SCALE_HI / SCALE_LO)
-            if eff >= 0.8:
-                break
+        eff = (results[SCALE_LO] / results[SCALE_HI]) / (SCALE_HI / SCALE_LO)
         t8, t32 = results[SCALE_LO], results[SCALE_HI]
         print(
             json.dumps(
@@ -149,9 +165,31 @@ def main() -> None:
     from data_profiler_spark.synth import pages_df
 
     spark = get_spark(app_name="bench", cores=CPUS)
+
+    def host_marker() -> float:
+        """Pure-JVM reference workload (sha2 over a generated range — no
+        I/O, no Python): its wall time moves ONLY with host noise, so
+        round-over-round deltas in the suite can be attributed (engine vs
+        neighbors). Recorded in the output JSON."""
+        from pyspark.sql import functions as F
+
+        t0 = time.time()
+        spark.range(0, 20_000_000, 1, CPUS).select(
+            F.max(F.sha2(F.col("id").cast("string"), 256)).alias("h")
+        ).collect()
+        return round(time.time() - t0, 3)
+
+    host_marker()  # codegen warm-up for the marker itself
+    marker_sec = host_marker()
     qs = entry_mod.queries()
+    qs.update(BENCH_OVERRIDES)
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        # warm pass first: codegen compile + OS page cache + python worker
+        # spin-up excluded from the timed window (the --scaling path always
+        # measured warm; this makes the headline suite comparable across
+        # rounds too).
+        qs[name](spark, SF_DIR).collect()
         t0 = time.time()
         qs[name](spark, SF_DIR).collect()
         timings[name] = round(time.time() - t0, 3)
@@ -163,9 +201,13 @@ def main() -> None:
     pages.count()
     warm = pages_df(spark, CPUS * 20, partitions=CPUS * 2)
     score_pages(warm).write.mode("overwrite").format("noop").save()
-    t0 = time.time()
-    score_pages(pages).write.mode("overwrite").format("noop").save()
-    score_sec = time.time() - t0
+    # best of 2 timed runs (same estimator as --scaling): one transient
+    # neighbor-throttling burst otherwise dominates the headline number
+    score_sec = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        score_pages(pages).write.mode("overwrite").format("noop").save()
+        score_sec = min(score_sec, time.time() - t0)
     pages.unpersist()
     timings["quality_filter_score"] = round(score_sec, 3)
     print(f"# quality_filter_score: {score_sec:.2f}s", file=sys.stderr, flush=True)
@@ -181,6 +223,7 @@ def main() -> None:
                 "queries": timings,
                 "docs_per_sec_score": round(PAGES_N / score_sec, 1),
                 "pages_n": PAGES_N,
+                "host_marker_sec": marker_sec,
             }
         )
     )

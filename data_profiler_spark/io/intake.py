@@ -160,18 +160,48 @@ def sniff_quoting(lines: list[str], delimiter: str) -> tuple[bool, float]:
     return conf >= 0.2, conf
 
 
-def sniff_csv(spark: SparkSession, path: str, sample_lines: int = 20) -> dict:
-    """Driver-side sniff of delimiter + quoting from the file head."""
+def sniff_csv(
+    spark: SparkSession,
+    path: str,
+    sample_lines: int = 20,
+    provided_delimiter: str | None = None,
+    provided_quoted: bool | None = None,
+) -> dict:
+    """Driver-side sniff of delimiter + quoting from the file head.
+
+    When the caller supplies its configured ``provided_delimiter`` /
+    ``provided_quoted``, detections are compared against them (reference
+    ``runs.py:630-691``): a high-confidence (>0.7) disagreement emits
+    ``W_DELIMITER_MISMATCH`` / ``W_QUOTING_MISMATCH`` in ``warnings`` and
+    the DETECTED value wins — ``delimiter``/``quoted`` in the returned dict
+    are always what downstream parsing should use. Feed ``warnings`` to
+    :func:`warnings_df` + ``operators.errors.error_rollup`` to record them
+    (both codes are non-catastrophic in ``ERROR_CODES``).
+    """
     lines = [r["value"] for r in spark.read.text(path).limit(sample_lines).collect()]
     delim, dconf = sniff_delimiter(lines)
     quoted, qconf = sniff_quoting(lines, delim)
+    warnings: list[str] = []
+    if provided_delimiter is not None and delim != provided_delimiter and dconf > 0.7:
+        warnings.append("W_DELIMITER_MISMATCH")
+    if provided_quoted is not None and quoted != provided_quoted and qconf > 0.7:
+        warnings.append("W_QUOTING_MISMATCH")
     return {
         "delimiter": delim,
         "delimiter_confidence": round(dconf, 4),
         "quoted": quoted,
         "quoting_confidence": round(qconf, 4),
         "header": lines[0] if lines else None,
+        "warnings": warnings,
     }
+
+
+def warnings_df(spark: SparkSession, warnings: list[str]) -> DataFrame:
+    """Sniff warnings as error-schema rows (line 0 = file-level) so they
+    flow through the same ``error_rollup`` as parse errors."""
+    from ..operators.errors import ERROR_SCHEMA
+
+    return spark.createDataFrame([(w, 0, None) for w in warnings], ERROR_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -192,12 +222,84 @@ def jagged_row_report(spark: SparkSession, path: str, delimiter: str) -> DataFra
     )
 
 
+def csv_row_errors(
+    spark: SparkSession,
+    path: str,
+    delimiter: str,
+    quoted: bool = True,
+    expected_cols: int | None = None,
+) -> DataFrame:
+    """S7 per-row shape classification with the reference's carve-outs
+    (``ingest.py:868-890``), as one narrow scan over raw lines:
+
+    * trailing empty fields beyond the expected count are trimmed first
+      (``a|b|c|`` parses clean against a 3-column header);
+    * exactly ONE extra column while quoting is enabled →
+      ``E_UNQUOTED_DELIM``, non-catastrophic (likely an unquoted delimiter
+      inside a value);
+    * any other count mismatch → ``E_JAGGED_ROW``, catastrophic.
+
+    Quote-aware field counting without a parser: quoted sections
+    (``"..."`` with ``""`` escapes) are deleted before splitting, so a
+    properly-quoted embedded delimiter does not inflate the count. Returns
+    ``(code, line_number, column)`` rows (1-based data-row numbers,
+    header excluded) ready for ``operators.errors.error_rollup``.
+
+    ``line_number`` ordering uses ``monotonically_increasing_id`` over the
+    text scan — exact for a single-file read (fixture/audit scale); a
+    100 TB multi-split ingest derives line numbers from reader offsets
+    instead, but at that scale the reference's whole line-numbered-CSV
+    model has already given way to the pages table.
+    """
+    import re as _re
+
+    from pyspark.sql import Window
+
+    raw = spark.read.text(path).withColumn("_mid", F.monotonically_increasing_id())
+    w = Window.orderBy("_mid")
+    numbered = raw.withColumn("_rn", F.row_number().over(w))
+    if expected_cols is None:
+        header = numbered.filter(F.col("_rn") == 1).collect()[0]["value"]
+        expected_cols = len(header.split(delimiter))
+    data = numbered.filter(F.col("_rn") > 1).select(
+        (F.col("_rn") - 1).alias("line_number"), "value"
+    )
+    line = F.col("value")
+    if quoted:
+        line = F.regexp_replace(line, '"([^"]|"")*"', "")
+    fields = F.split(line, _re.escape(delimiter), -1)
+    n = F.size(fields)
+    nonempty_pos = F.filter(
+        F.transform(fields, lambda x, i: F.when(x != "", i + 1)), lambda v: v.isNotNull()
+    )
+    last_nonempty = F.coalesce(F.array_max(nonempty_pos), F.lit(0))
+    eff = F.when(n > expected_cols, F.greatest(F.lit(expected_cols), last_nonempty)).otherwise(n)
+    code = (
+        F.when(eff == expected_cols, F.lit(None).cast("string"))
+        .when((eff == expected_cols + 1) & F.lit(bool(quoted)), F.lit("E_UNQUOTED_DELIM"))
+        .otherwise(F.lit("E_JAGGED_ROW"))
+    )
+    return (
+        data.select("line_number", code.alias("code"))
+        .filter(F.col("code").isNotNull())
+        .select("code", "line_number", F.lit(None).cast("string").alias("column"))
+    )
+
+
 def read_csv_with_errors(
-    spark: SparkSession, path: str, delimiter: str = "|", quoted: bool = True
+    spark: SparkSession, path: str, delimiter: str = "|", quoted: bool = True,
+    cache: bool = True,
 ) -> tuple[DataFrame, Column]:
     """PERMISSIVE csv read carrying a ``_corrupt`` column; pair with
     ``F.count(F.col('_corrupt').isNotNull())`` for the reference's
-    count-and-continue error rollup (``ingest.py:953-963``)."""
+    count-and-continue error rollup (``ingest.py:953-963``).
+
+    ``cache=True`` (default) works around Spark's corrupt-column-only-query
+    restriction by caching — right for profiling fixtures that get scanned
+    repeatedly anyway. For a large one-pass file set ``cache=False`` and
+    select at least one data column alongside ``_corrupt`` in every query
+    (the documented Spark requirement) instead of pinning the file in
+    memory."""
     # Spark only materializes the corrupt-record column when it appears in
     # an explicit schema; the reference's model is all-strings anyway
     # (SURVEY.md §1.2), so: header sniff → all-string schema + _corrupt.
@@ -218,5 +320,6 @@ def read_csv_with_errors(
     # CSV scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN);
     # cache() is the documented workaround and the rollup typically follows
     # a full profiling pass over the same data anyway.
-    df = df.cache()
+    if cache:
+        df = df.cache()
     return df, F.sum(F.col("_corrupt").isNotNull().cast("long")).alias("corrupt_count")

@@ -136,6 +136,7 @@ def minhash_lsh_pairs(
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
     shingle: int = DEFAULT_SHINGLE,
     threshold: float = 0.8,
+    union_exact_candidates: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash+LSH, verified with exact Jaccard.
 
@@ -143,6 +144,15 @@ def minhash_lsh_pairs(
     probabilistic (Pr[detect] = 1-(1-J^r)^b), verification exact — false
     positives are impossible, false negatives exponentially unlikely above
     the (r, b) S-curve threshold.
+
+    ``union_exact_candidates=True`` unions the LSH band candidates with the
+    exact inverted-index candidates (shared-shingle pairs) before the
+    verification join, making the RESULT deterministic and exactly equal to
+    the brute-force threshold join — the LSH path is still fully exercised,
+    but a correctness gate comparing against an exact oracle can't flap on
+    the ~(1-J^r)^b per-pair miss probability. Costs one extra self-join at
+    fixture scale; leave off at web scale where the S-curve miss rate is
+    the accepted contract.
     """
     sets = _shingle_sets(df, id_col, text_col, shingle)
     # Two-step projection (shingles → signature → bands) so each band key
@@ -171,7 +181,50 @@ def minhash_lsh_pairs(
         .select("id1", "id2")
         .distinct()
     )
+    if union_exact_candidates:
+        inv = sets.select("_id", F.explode_outer("_sh").alias("shingle")).filter(
+            F.col("shingle").isNotNull()
+        )
+        ia = inv.select(F.col("_id").alias("id1"), "shingle")
+        ib = inv.select(F.col("_id").alias("id2"), "shingle")
+        exact_cand = (
+            ia.join(ib, "shingle").filter(F.col("id1") < F.col("id2")).select("id1", "id2")
+        )
+        cand = cand.unionByName(exact_cand).distinct()
     return _verify_pairs(cand, sets, id_col, threshold)
+
+
+DEFAULT_MAX_SHINGLE_DF = 10_000
+
+
+def shingle_df_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = DEFAULT_SHINGLE,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Dropped-shingle-mass report for the ``max_shingle_df`` cap: one row
+    with total/dropped shingle counts and the (shingle, id) posting mass the
+    cap removes from candidate generation. Makes the exactness bound of a
+    capped :func:`ngram_jaccard_pairs` run explicit — a pair is missed only
+    if EVERY shared shingle is above the cap, so ``dropped_shingles == 0``
+    certifies the capped run exact."""
+    sets = _shingle_sets(df, id_col, text_col, shingle)
+    inv = sets.select("_id", F.explode_outer("_sh").alias("shingle")).filter(
+        F.col("shingle").isNotNull()
+    )
+    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    cap = F.lit(max_shingle_df if max_shingle_df is not None else 2**62)
+    return freq.agg(
+        F.count(F.lit(1)).alias("total_shingles"),
+        F.sum((F.col("df") > cap).cast("long")).alias("dropped_shingles"),
+        F.sum(F.when(F.col("df") > cap, F.col("df")).otherwise(F.lit(0))).alias(
+            "dropped_posting_mass"
+        ),
+        F.sum("df").alias("total_posting_mass"),
+        F.max("df").alias("max_df"),
+    )
 
 
 def ngram_jaccard_pairs(
@@ -180,7 +233,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle: int = DEFAULT_SHINGLE,
     threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard join via inverted index on shingle.
 
@@ -191,13 +244,17 @@ def ngram_jaccard_pairs(
     (a tiny broadcast-sized side table). This is the at-scale shape: shuffle
     volume is (shingle, id) pairs + candidate pairs, never documents.
 
-    ``max_shingle_df`` (document-frequency cap) is the web-scale knob: a
-    shingle appearing in more than that many docs is dropped from candidate
-    generation (its pairs are found through their rarer shingles anyway for
-    any threshold high enough that rare shingles are shared). With a cap the
-    shared counts from the pruned index are partial, so candidates are
-    re-verified against the full shingle sets (arrays travel only for the
-    few candidate pairs).
+    ``max_shingle_df`` (document-frequency cap) is the web-scale guardrail
+    and is ON by default (``DEFAULT_MAX_SHINGLE_DF``): the inverted-index
+    self-join is quadratic in per-shingle document frequency, so one
+    boilerplate shingle ("all rights reserved …") at 10^12 docs would
+    otherwise detonate the join. A shingle above the cap is dropped from
+    candidate generation only — candidates found through rarer shingles are
+    then re-verified against the FULL shingle sets, so a qualifying pair is
+    missed only if every one of its shared shingles is ultra-frequent.
+    Quantify that bound with :func:`shingle_df_report` (``dropped_shingles
+    == 0`` ⇒ the capped run is exactly the uncapped result). Pass ``None``
+    to force the uncapped count-shaped path.
     """
     sets = _shingle_sets(df, id_col, text_col, shingle)
     # explode_outer + null-filter: see the posexplode_outer note in

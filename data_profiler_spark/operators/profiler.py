@@ -79,7 +79,7 @@ def string_stats_exprs(col: str) -> list[Column]:
     ]
 
 
-def melted_value_counts(df: DataFrame, cols: list[str]) -> DataFrame:
+def melted_value_counts(df: DataFrame, cols: list[str], case_sensitive: bool = True) -> DataFrame:
     """Every column's exact value frequencies in ONE shuffle.
 
     Replaces the reference's per-column full-file re-scan
@@ -93,16 +93,24 @@ def melted_value_counts(df: DataFrame, cols: list[str]) -> DataFrame:
     would put each column on one reducer, so the compound key keeps
     parallelism ∝ value cardinality. Map-side partial aggregation bounds
     shuffle volume by the number of *distinct* (col, value) pairs per task.
+
+    ``case_sensitive=False`` lowercases after trimming (reference
+    ``distincts.py:175-177``) so 'Foo' and 'foo' collapse into one value.
     """
     pairs: list[Column] = []
     for c in cols:
-        pairs.extend([F.lit(c), F.trim(F.col(c).cast("string"))])
+        v = F.trim(F.col(c).cast("string"))
+        if not case_sensitive:
+            v = F.lower(v)
+        pairs.extend([F.lit(c), v])
     melted = df.select(F.explode(F.create_map(*pairs)).alias("column_name", "value"))
     melted = melted.filter(F.col("value").isNotNull() & (F.col("value") != ""))
     return melted.groupBy("column_name", "value").agg(F.count(F.lit(1)).alias("cnt"))
 
 
-def top_n_values(df: DataFrame, cols: list[str], n: int = 10) -> DataFrame:
+def top_n_values(
+    df: DataFrame, cols: list[str], n: int = 10, case_sensitive: bool = True
+) -> DataFrame:
     """Top-N value frequencies per column — reference A9
     (``distincts.py:77-93``) with the pinned deterministic tiebreak
     (count desc, value asc; FIXTURES.md §F4.3).
@@ -113,7 +121,7 @@ def top_n_values(df: DataFrame, cols: list[str], n: int = 10) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    counts = melted_value_counts(df, cols)
+    counts = melted_value_counts(df, cols, case_sensitive=case_sensitive)
     w = Window.partitionBy("column_name").orderBy(F.desc("cnt"), F.asc("value"))
     return (
         counts.withColumn("rank", F.row_number().over(w))
@@ -122,19 +130,24 @@ def top_n_values(df: DataFrame, cols: list[str], n: int = 10) -> DataFrame:
     )
 
 
-def distinct_report(df: DataFrame, cols: list[str]) -> DataFrame:
+def distinct_report(df: DataFrame, cols: list[str], case_sensitive: bool = True) -> DataFrame:
     """Per-column exact distinct/null/empty counts + cardinality ratio —
     reference A8/A17 (``distincts.py:144-408``, ratio ``distincts.py:219-221``
     = distinct / non-null; FIXTURES.md §F4.2 pins the denominator per
     surface).
 
     ``empty_count`` is the literal two-char string ``\"\"`` bucket
-    (``distincts.py:166-168``).
+    (``distincts.py:166-168``). ``case_sensitive=False`` lowercases after
+    trimming before distinct counting (``distincts.py:175-177``).
+
+    Single pass: the row total rides in the same wide agg as the per-column
+    counters (no separate ``df.count()`` scan).
     """
-    total = df.count()
-    aggs: list[Column] = []
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_total")]
     for c in cols:
         sc = F.trim(F.col(c).cast("string"))
+        if not case_sensitive:
+            sc = F.lower(sc)
         aggs.append(
             F.count_distinct(
                 F.when(sc.isNotNull() & (sc != ""), sc)
@@ -143,6 +156,7 @@ def distinct_report(df: DataFrame, cols: list[str]) -> DataFrame:
         aggs.append(F.sum(null_like(F.col(c)).cast("long")).alias(f"{c}_null"))
         aggs.append(F.sum((sc == '""').cast("long")).alias(f"{c}_empty"))
     row = df.agg(*aggs).collect()[0].asDict()
+    total = row["_total"]
     out = []
     for c in cols:
         nulls = row[f"{c}_null"] or 0

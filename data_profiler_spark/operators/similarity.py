@@ -17,6 +17,10 @@ Three tiers, smallest-to-largest scale:
   a labeled (or k-means-assigned) column; vectors are searched only within
   the nearest ``nprobe`` cells. ``centroid_assign`` below builds the
   assignment table (one broadcast of k×d floats + one narrow map).
+* **Projection-grid near-dup blocking** — ``embedding_near_dup_pairs``:
+  all-pairs cosine >= t as a LOSSLESS equi-join (triangle-inequality grid
+  cells; see its docstring). Exact result, join-shaped cost — the default
+  path, replacing the O(n²) crossJoin.
 
 All vector math is JVM-side (``aggregate``/``zip_with`` fold) — at 64-1024
 dims whole-stage codegen keeps this in the scan stage; for very high dims a
@@ -180,21 +184,98 @@ def centroid_assign(
     )
 
 
+def projection_directions(dim: int, m: int, seed: int = 7) -> list[list[float]]:
+    """``m`` deterministic unit-norm projection directions (normalized
+    :func:`random_hyperplanes` rows) for grid blocking."""
+    out = []
+    for row in random_hyperplanes(dim, m, seed):
+        nrm = sum(x * x for x in row) ** 0.5 or 1.0
+        out.append([x / nrm for x in row])
+    return out
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_projections: int = 2,
+    seed: int = 7,
+    round_to: int = 6,
+    method: str = "grid",
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact, O(n²) — fixture scale). The
-    scale path blocks via ``lsh_bucket_expr`` first (join on bucket instead
-    of cross join), trading recall for cost exactly like minhash_lsh_pairs."""
-    a = df.select(F.col(id_col).alias("id1"), _as_double(F.col(vec_col)).alias("_v1"))
-    b = df.select(F.col(id_col).alias("id2"), _as_double(F.col(vec_col)).alias("_v2"))
+    """Embedding-cosine near-dup pairs via LOSSLESS projection-grid blocking.
+
+    Default ``method='grid'``: project each L2-normalized vector onto
+    ``n_projections`` fixed unit directions; ``cosine(a,b) >= t`` implies
+    ``||â-b̂|| <= sqrt(2-2t) =: w`` (unit sphere chord), and a 1-Lipschitz
+    projection therefore moves by at most ``w`` — so a qualifying pair lands
+    in the same or an adjacent cell of a width-``w`` grid in EVERY
+    projection. Each vector emits its 2^m grid-corner keys
+    ``(c_j + e_j, e in {0,1}^m)``; per-dimension adjacency guarantees a
+    shared key (pick ``e``/``f`` per axis), so candidate generation has
+    100% recall BY CONSTRUCTION at any threshold — no LSH recall gamble —
+    while the join cost is #colliding-cell pairs, never O(n²). Candidates
+    are then verified with exact cosine (filter on the RAW value; rounding
+    happens once, in the final select, so the result is identical to the
+    brute-force reference at every threshold).
+
+    Pruning power scales with the threshold: at near-dup thresholds
+    (t >= 0.9, w <= 0.45) cells are narrow and the self-join touches only
+    genuinely close vectors; at low thresholds the grid degrades gracefully
+    toward all-pairs — which is the true output size anyway. ``method=
+    'exact'`` keeps the O(n²) crossJoin as a debug baseline.
+    """
+    base = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    if method == "exact":
+        a = base.select(F.col("_id").alias("id1"), F.col("_v").alias("_v1"))
+        b = base.select(F.col("_id").alias("id2"), F.col("_v").alias("_v2"))
+        return (
+            a.crossJoin(b)
+            .filter(F.col("id1") < F.col("id2"))
+            .withColumn("_cos", cosine_expr(F.col("_v1"), F.col("_v2")))
+            .filter(F.col("_cos") >= threshold)
+            .select("id1", "id2", F.round("_cos", round_to).alias("cosine"))
+        )
+    width = max((2.0 - 2.0 * threshold), 1e-12) ** 0.5
+    dim = len(df.select(vec_col).first()[0])
+    dirs = projection_directions(dim, n_projections, seed)
+    # Materialize the projections as their own attribute before deriving the
+    # 2^m keys from them — inlining the m dot products into every key would
+    # duplicate the expensive fold 2^m times in codegen (CLAUDE.md perf rule).
+    proj = base.select(
+        "_id",
+        F.array(
+            *[
+                F.floor(cosine_expr(F.col("_v"), _lit_vec(u)) / F.lit(width)).cast("long")
+                for u in dirs
+            ]
+        ).alias("_c"),
+    )
+    corners = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    (F.element_at(F.col("_c"), j + 1) + F.lit(e[j])).cast("string")
+                    for j in range(n_projections)
+                ],
+            )
+            for e in itertools.product((0, 1), repeat=n_projections)
+        ]
+    )
+    # explode_outer: keeps the projection expression above the exchange
+    # (same implicit-size()>0 pushdown trap as operators/dedup.py).
+    melted = proj.select("_id", F.explode_outer(corners).alias("_k"))
+    a = melted.select(F.col("_id").alias("id1"), "_k")
+    b = melted.select(F.col("_id").alias("id2"), "_k")
+    cand = a.join(b, "_k").filter(F.col("id1") < F.col("id2")).select("id1", "id2").distinct()
+    v1 = base.select(F.col("_id").alias("id1"), F.col("_v").alias("_v1"))
+    v2 = base.select(F.col("_id").alias("id2"), F.col("_v").alias("_v2"))
     return (
-        a.crossJoin(b)
-        .filter(F.col("id1") < F.col("id2"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("_v1"), F.col("_v2")), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id1", "id2", "cosine")
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn("_cos", cosine_expr(F.col("_v1"), F.col("_v2")))
+        .filter(F.col("_cos") >= threshold)
+        .select("id1", "id2", F.round("_cos", round_to).alias("cosine"))
     )

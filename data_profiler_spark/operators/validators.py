@@ -22,14 +22,26 @@ MONEY_RE = "^[0-9]+\\.[0-9]{2}$"
 ALPHA_RE = "^[a-zA-Z]+$"
 
 # Date formats in reference preference order — api/services/types.py:86-92,
-# profile.py:689-699.
+# profile.py:688-697 (DATE_PATTERNS, incl. the datetime entry).
 DATE_FORMATS = [
     ("YYYYMMDD", "^[0-9]{8}$", "yyyyMMdd"),
     ("YYYY-MM-DD", "^[0-9]{4}-[0-9]{2}-[0-9]{2}$", "yyyy-MM-dd"),
     ("YYYY/MM/DD", "^[0-9]{4}/[0-9]{2}/[0-9]{2}$", "yyyy/MM/dd"),
     ("MM/DD/YYYY", "^[0-9]{2}/[0-9]{2}/[0-9]{4}$", "MM/dd/yyyy"),
     ("MM-DD-YYYY", "^[0-9]{2}-[0-9]{2}-[0-9]{4}$", "MM-dd-yyyy"),
+    (
+        "YYYY-MM-DD HH:MM:SS",
+        "^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}$",
+        "yyyy-MM-dd HH:mm:ss",
+    ),
 ]
+
+# DD/MM/YYYY — same lexical shape as MM/DD/YYYY, different interpretation
+# (reference profile.py:699-700 DD_MM_YYYY_PATTERN). Counted separately and
+# only credited when NO value in the column parses as MM/DD/YYYY (reference
+# detect_format profile.py:851-859), so day>12 values flip the column's
+# interpretation instead of silently counting as invalid.
+DD_MM_YYYY = ("DD/MM/YYYY", "^[0-9]{2}/[0-9]{2}/[0-9]{4}$", "dd/MM/yyyy")
 
 
 def is_null_like(c: Column) -> Column:
@@ -142,33 +154,68 @@ def money_rollup_exprs(col: str, max_examples: int = 3) -> list[Column]:
 
 def date_format_counts_exprs(col: str) -> list[Column]:
     """A12 — per-format valid-parse counts for majority-vote format
-    detection (``profile.py:821-887``); the vote itself is
-    :func:`detect_date_format` on the collected row."""
+    detection (``profile.py:826-887``); the vote itself is
+    :func:`detect_date_format` on the collected row. Includes the raw
+    DD/MM/YYYY parse count — its crediting rule (only when MM/DD/YYYY has
+    zero matches) is applied driver-side by the vote."""
     c = F.col(col)
     exprs = []
     for name, pat, sf in DATE_FORMATS:
         exprs.append(
             F.sum(parsed_date(c, pat, sf).isNotNull().cast("long")).alias(f"{col}_fmt_{name}")
         )
+    exprs.append(
+        F.sum(parsed_date(c, DD_MM_YYYY[1], DD_MM_YYYY[2]).isNotNull().cast("long")).alias(
+            f"{col}_fmt_{DD_MM_YYYY[0]}"
+        )
+    )
     exprs.append(F.sum((~is_null_like(c)).cast("long")).alias(f"{col}_non_null"))
     return exprs
 
 
-def detect_date_format(agg_row: dict, col: str) -> dict:
+def detect_date_format(agg_row: dict, col: str, prefer_format: str | None = None) -> dict:
     """Majority vote over the A12 aggregate row — most-common format wins,
-    confidence = share of non-null, ambiguity flag when >1 format matches
-    (``profile.py:821-887``). Driver-side pure function (testable)."""
-    counts = {name: agg_row.get(f"{col}_fmt_{name}", 0) or 0 for name, _, _ in DATE_FORMATS}
+    confidence = matched share (``profile.py:826-887``). Driver-side pure
+    function (testable).
+
+    Reference parity (profile.py:851-886):
+
+    * DD/MM/YYYY is credited only when NO value parsed as MM/DD/YYYY —
+      a column of day>12 slash dates flips to the DD/MM interpretation
+      instead of under-counting as invalid MM/DD.
+    * ``has_ambiguity`` is true when any slash-date interpretation matched
+      (every MM/DD value is lexically also a DD/MM candidate) or when more
+      than one format matched.
+    * ``prefer_format`` breaks exact count ties (reference's
+      ``prefer_format`` hint, profile.py:701-720); otherwise reference
+      preference order wins.
+
+    Returned dict keys: format, confidence, ambiguous (legacy alias),
+    has_ambiguity.
+    """
+    order = [n for n, _, _ in DATE_FORMATS] + [DD_MM_YYYY[0]]
+    counts = {name: agg_row.get(f"{col}_fmt_{name}", 0) or 0 for name in order}
     non_null = agg_row.get(f"{col}_non_null", 0) or 0
+    if counts["MM/DD/YYYY"] > 0:
+        counts[DD_MM_YYYY[0]] = 0  # reference: DD/MM only counts when MM/DD absent
     matched = {k: v for k, v in counts.items() if v > 0}
     if not matched or non_null == 0:
-        return {"format": None, "confidence": 0.0, "ambiguous": False}
-    # preference order breaks ties (reference order, types.py:86-92)
-    best = max(matched, key=lambda k: (matched[k], -[n for n, _, _ in DATE_FORMATS].index(k)))
+        return {"format": None, "confidence": 0.0, "ambiguous": False, "has_ambiguity": False}
+    best = max(
+        matched,
+        key=lambda k: (matched[k], k == prefer_format, -order.index(k)),
+    )
+    has_ambiguity = (
+        counts["MM/DD/YYYY"] > 0 or counts[DD_MM_YYYY[0]] > 0 or len(matched) > 1
+    )
+    # confidence denominator = total format matches (reference
+    # profile.py:866-868), not non-null count
+    total_matches = sum(matched.values())
     return {
         "format": best,
-        "confidence": matched[best] / non_null,
-        "ambiguous": len(matched) > 1,
+        "confidence": matched[best] / total_matches if total_matches else 0.0,
+        "ambiguous": has_ambiguity,
+        "has_ambiguity": has_ambiguity,
     }
 
 

@@ -14,13 +14,15 @@ defuse host-level skew — a Zipf host distribution otherwise concentrates
 a host's documents in few tasks downstream).
 
 Run lifecycle (reference ``api/storage/workspace.py:206-237`` state machine
-reborn): each batch (a month of ``warc_ts``) is written with dynamic
-partition overwrite and then recorded in ``manifest.json`` with its exact
-metrics. Re-running skips completed batches and re-overwrites incomplete
-ones — idempotent resume from the last committed "snapshot"
-(SURVEY.md §7.3.7). With an Iceberg catalog on the cluster the same commit
-becomes a table snapshot; parquet + manifest is the sandbox fallback
-(io/catalog.py).
+reborn): ONE scoring+write job per run covers every incomplete ``warc_ts``
+month (single input scan, ``partitionBy("month")`` with dynamic partition
+overwrite), then each written month is recorded in ``manifest.json`` with
+its exact metrics. Re-running filters completed months out with one
+``NOT IN`` predicate and re-overwrites only incomplete ones — idempotent
+resume from the last committed "snapshot" (SURVEY.md §7.3.7). With an
+Iceberg catalog on the cluster the same write is one transactional
+``overwritePartitions`` snapshot; parquet + manifest is the sandbox
+fallback (io/catalog.py).
 """
 
 from __future__ import annotations
@@ -30,7 +32,7 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import rules
@@ -76,12 +78,12 @@ def score_pages(df: DataFrame, keep_langs: tuple[str, ...] = rules.KEEP_LANGS) -
     )
 
 
-def _metrics_observation() -> tuple[Observation, list]:
-    """Profiler-style exact metrics piggybacked on the write pass via
-    ``observe()`` — row counts, keep counts, null rates, score histogram
-    (north rule 'per-partition lineage + profiler-style exact metrics')
-    with zero extra scans."""
-    obs = Observation("batch_metrics")
+def _metric_exprs() -> list:
+    """Profiler-style exact metric expressions — row counts, keep counts,
+    null rates, score histogram (north rule 'per-partition lineage +
+    profiler-style exact metrics'). Used twice: as an ``observe()`` on the
+    write pass (run totals, zero extra scans) and as a ``groupBy(month)``
+    agg over the written output (per-month manifest entries)."""
     ppl = F.col("log_ppl")
     bins = [
         F.sum(
@@ -89,14 +91,13 @@ def _metrics_observation() -> tuple[Observation, list]:
         ).alias(f"ppl_{str(lo).replace('.', '_')}_{str(hi).replace('.', '_')}")
         for lo, hi in [(0, 6), (6, 7), (7, 8), (8, 9.2), (9.2, 11), (11, 1e9)]
     ]
-    exprs = [
+    return [
         F.count(F.lit(1)).alias("rows"),
         F.sum(F.col("keep").cast("long")).alias("kept"),
         F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
         F.sum((F.col("lang_pred") != F.col("lang")).cast("long")).alias("langid_disagree"),
         *bins,
     ]
-    return obs, exprs
 
 
 @dataclass
@@ -168,6 +169,12 @@ class QualityFilterPipeline:
             )
         return r
 
+    def _read_output(self) -> DataFrame:
+        target = self.table or os.path.join(self.output_path, "data")
+        if catalog.is_table_target(target):
+            return self.spark.read.table(target)
+        return self.spark.read.parquet(target)
+
     def run(
         self,
         pages: DataFrame,
@@ -175,13 +182,25 @@ class QualityFilterPipeline:
         validate_first: bool = False,
         max_invalid_utf8: int = 0,
     ) -> RunResult:
-        """Score + write, one committed batch per warc_ts month.
+        """Score + write in ONE pass over the input; commit per warc_ts
+        month in the manifest.
 
-        Already-committed batches (same run_id) are skipped — resume from
-        the last completed snapshot. Each batch write uses dynamic
-        partition overwrite, so a re-run of an incomplete batch replaces
-        rather than duplicates (idempotent). ``validate_first`` runs the
-        catastrophic UTF-8 gate before any scoring work.
+        The input is scanned exactly once per run: already-committed months
+        (same run_id) are excluded with a single ``month NOT IN (...)``
+        filter, everything else is scored and written in one
+        ``partitionBy("month")`` job with dynamic partition overwrite
+        (Iceberg ``overwritePartitions`` on a cluster — one transactional
+        snapshot replacing exactly the incomplete months, so a re-run never
+        duplicates). At 100 TB this is the difference between 1 scan and
+        #months+1 scans — a derived-month filter is NOT a partition-pruning
+        predicate, so the old score-per-month loop re-read the full table
+        per batch.
+
+        Per-month manifest metrics come from a column-pruned read-back of
+        the freshly WRITTEN months (output-sized, ~5 stat columns), not a
+        rescan of the input; run totals are the sum of the per-month
+        entries. ``validate_first`` runs the catastrophic UTF-8 gate before
+        any scoring work.
         """
         if validate_first:
             self.validate(pages, max_invalid_utf8)
@@ -189,41 +208,41 @@ class QualityFilterPipeline:
         if manifest.get("run_id") != run_id:
             manifest = {"run_id": run_id, "state": "processing", "completed_batches": {}}
         result = RunResult(run_id=run_id, output_path=self.output_path)
-        months = [
-            r["m"]
-            for r in pages.select(F.date_format("warc_ts", "yyyy-MM").alias("m"))
-            .distinct()
-            .orderBy("m")
-            .collect()
-        ]
+        completed = sorted(manifest["completed_batches"])
+        result.resumed_batches = list(completed)
+        month = F.date_format("warc_ts", "yyyy-MM")
+        batch = pages.filter(~month.isin(completed)) if completed else pages
+        t0 = time.time()
+        scored = (
+            score_pages(batch, self.keep_langs)
+            .withColumn("month", month)
+            .withColumn("salt", url_salt(self.salt_buckets))
+        )
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        for month in months:
-            if month in manifest["completed_batches"]:
-                result.resumed_batches.append(month)
-                continue
-            t0 = time.time()
-            batch = pages.filter(F.date_format("warc_ts", "yyyy-MM") == month)
-            scored = score_pages(batch, self.keep_langs)
-            scored = scored.withColumn("month", F.date_format("warc_ts", "yyyy-MM")).withColumn(
-                "salt", url_salt(self.salt_buckets)
-            )
-            obs, exprs = _metrics_observation()
-            scored = scored.observe(obs, *exprs)
-            catalog.write_partitioned(
-                scored.repartition(F.col("salt")).drop("salt"),
-                self.table or os.path.join(self.output_path, "data"),
-                ["month"],
-                mode="overwrite-partitions",
-            )
-            metrics = {k: v for k, v in obs.get.items()}
+        # repartition on (month, salt): skew defusal AND at most one file
+        # per (month, salt-bucket) — without month in the key every task
+        # could hold rows of every month and fan out #tasks × #months files.
+        catalog.write_partitioned(
+            scored.repartition(F.col("month"), F.col("salt")).drop("salt"),
+            self.table or os.path.join(self.output_path, "data"),
+            ["month"],
+            mode="overwrite-partitions",
+        )
+        elapsed = round(time.time() - t0, 3)
+        committed_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        out = self._read_output()
+        if completed:
+            out = out.filter(~F.col("month").isin(completed))
+        per_month = out.groupBy("month").agg(*_metric_exprs()).orderBy("month").collect()
+        for r in per_month:
+            m = r["month"]
             entry = {
-                "month": month,
-                "metrics": metrics,
-                "elapsed_sec": round(time.time() - t0, 3),
-                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "month": m,
+                "metrics": {k: v for k, v in r.asDict().items() if k != "month"},
+                "elapsed_sec": elapsed,  # one job writes all months
+                "committed_at": committed_at,
             }
-            manifest["completed_batches"][month] = entry
-            self._save_manifest(manifest)
+            manifest["completed_batches"][m] = entry
             result.batches.append(entry)
         manifest["state"] = "completed"
         self._save_manifest(manifest)

@@ -43,6 +43,33 @@ def test_ngram_jaccard_df_cap_keeps_high_sim_pairs(docs):
     assert full == capped
 
 
+def test_minhash_union_exact_is_deterministic(docs):
+    """union_exact_candidates must yield exactly the brute-force threshold
+    join regardless of LSH band luck (the oracle-checked configuration)."""
+    unioned = _pairs(dedup.minhash_lsh_pairs(docs, threshold=0.8, union_exact_candidates=True))
+    exact = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.8, max_shingle_df=None))
+    assert unioned == exact
+
+
+def test_shingle_df_report_quantifies_cap(spark):
+    """A hot shingle above the cap shows up in the dropped-mass report, and
+    the capped join still finds the high-sim pair through rare shingles."""
+    boiler = "all rights reserved by the site owner and operator"
+    rows = [(i, f"{boiler} unique page {i} content token{i}") for i in range(30)]
+    rows.append((100, "the quick brown fox jumps over the lazy dog tonight"))
+    rows.append((101, "the quick brown fox jumps over the lazy dog tonight"))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    rep = dedup.shingle_df_report(df, max_shingle_df=10).collect()[0]
+    assert rep["dropped_shingles"] > 0  # the boilerplate shingles
+    assert rep["dropped_posting_mass"] >= 30
+    assert rep["max_df"] >= 30
+    pairs = _pairs(dedup.ngram_jaccard_pairs(df, threshold=0.9, max_shingle_df=10))
+    assert (100, 101) in pairs
+    # uncapped report certifies exactness when nothing is dropped
+    clean = dedup.shingle_df_report(df, max_shingle_df=None).collect()[0]
+    assert clean["dropped_shingles"] == 0
+
+
 def test_simhash_banded_join_is_lossless(spark, docs):
     """Banded simhash join (pigeonhole-lossless for hamming <= bands-1)
     must equal the brute-force O(n^2) scan."""
@@ -123,3 +150,21 @@ def test_embedding_near_dup_symmetric_bound(emb):
     pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.45)
     rows = pairs.collect()
     assert all(r["id1"] < r["id2"] and r["cosine"] >= 0.45 for r in rows)
+
+
+def test_embedding_near_dup_grid_is_lossless(emb):
+    """The projection-grid default must return EXACTLY the brute-force
+    result (recall is 100% by construction, not probabilistic), at more
+    than one threshold, and with no CrossJoin in the plan."""
+    for t in (0.45, 0.8):
+        grid = {
+            (r["id1"], r["id2"], r["cosine"])
+            for r in similarity.embedding_near_dup_pairs(emb, threshold=t).collect()
+        }
+        exact = {
+            (r["id1"], r["id2"], r["cosine"])
+            for r in similarity.embedding_near_dup_pairs(emb, threshold=t, method="exact").collect()
+        }
+        assert grid == exact
+    plan = similarity.embedding_near_dup_pairs(emb, threshold=0.45)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

@@ -82,7 +82,9 @@ def test_date_format_detection_and_range(spark, tmp_path):
     assert agg["D8_non_null"] == 6
     det = V.detect_date_format(agg, "D8")
     assert det["format"] == "YYYYMMDD" and not det["ambiguous"]
-    assert det["confidence"] == pytest.approx(5 / 6)
+    # confidence = share of format MATCHES (reference profile.py:866-868:
+    # count / sum(format_counts)), not of non-null values
+    assert det["confidence"] == pytest.approx(1.0)
     # out-of-range: 1899 and 2099 both outside [1900, current+1]
     assert agg["D8_out_of_range_count"] == 2
     # DMix: majority MM/DD/YYYY with one ISO ⇒ ambiguous
@@ -90,6 +92,61 @@ def test_date_format_detection_and_range(spark, tmp_path):
     assert agg["DMix_fmt_YYYY-MM-DD"] == 1
     det2 = V.detect_date_format(agg, "DMix")
     assert det2["format"] == "MM/DD/YYYY" and det2["ambiguous"]
+    assert det2["has_ambiguity"]
+    assert det2["confidence"] == pytest.approx(6 / 7)
+
+
+def test_datetime_format_detection(spark, tmp_path):
+    """The sixth DATE_PATTERNS entry (reference profile.py:695): timestamp
+    strings must count as their own format, not as invalid dates."""
+    rows = [
+        "1|2024-01-15 10:30:00",
+        "2|2024-02-16 23:59:59",
+        "3|2024-03-17 00:00:00",
+        "4|2024-03-18",            # plain ISO date mixed in
+        "5|2024-02-30 10:00:00",   # impossible calendar date
+    ]
+    df = _csv_df(spark, tmp_path, "dt.csv", "ID|TS", rows)
+    agg = df.agg(*V.date_format_counts_exprs("TS")).collect()[0].asDict()
+    assert agg["TS_fmt_YYYY-MM-DD HH:MM:SS"] == 3
+    assert agg["TS_fmt_YYYY-MM-DD"] == 1
+    det = V.detect_date_format(agg, "TS")
+    assert det["format"] == "YYYY-MM-DD HH:MM:SS"
+    assert det["has_ambiguity"]  # two formats present
+    assert det["confidence"] == pytest.approx(3 / 4)
+
+
+def test_dd_mm_yyyy_ambiguity_flip(spark, tmp_path):
+    """Reference profile.py:699-700,851-859: day>12 slash dates flip the
+    column to the DD/MM/YYYY interpretation when no MM/DD value exists; a
+    single MM/DD-parsable value suppresses the DD/MM credit."""
+    rows = ["1|25/12/2024", "2|13/01/2024", "3|31/03/2024"]
+    df = _csv_df(spark, tmp_path, "ddmm.csv", "ID|D", rows)
+    agg = df.agg(*V.date_format_counts_exprs("D")).collect()[0].asDict()
+    assert agg["D_fmt_MM/DD/YYYY"] == 0  # months 25/13/31 are impossible
+    assert agg["D_fmt_DD/MM/YYYY"] == 3
+    det = V.detect_date_format(agg, "D")
+    assert det["format"] == "DD/MM/YYYY" and det["has_ambiguity"]
+    assert det["confidence"] == pytest.approx(1.0)
+    # one MM/DD-parsable value suppresses the DD/MM interpretation
+    rows2 = ["1|25/12/2024", "2|01/05/2024"]
+    df2 = _csv_df(spark, tmp_path, "ddmm2.csv", "ID|D", rows2)
+    agg2 = df2.agg(*V.date_format_counts_exprs("D")).collect()[0].asDict()
+    assert agg2["D_fmt_MM/DD/YYYY"] == 1 and agg2["D_fmt_DD/MM/YYYY"] == 2
+    det2 = V.detect_date_format(agg2, "D")
+    assert det2["format"] == "MM/DD/YYYY" and det2["has_ambiguity"]
+
+
+def test_prefer_format_breaks_ties(spark, tmp_path):
+    """prefer_format hint (reference profile.py:701-720) breaks exact count
+    ties; reference preference order wins otherwise."""
+    rows = ["1|20240115", "2|2024-02-16"]
+    df = _csv_df(spark, tmp_path, "tie.csv", "ID|D", rows)
+    agg = df.agg(*V.date_format_counts_exprs("D")).collect()[0].asDict()
+    assert V.detect_date_format(agg, "D")["format"] == "YYYYMMDD"  # pref order
+    assert (
+        V.detect_date_format(agg, "D", prefer_format="YYYY-MM-DD")["format"] == "YYYY-MM-DD"
+    )
 
 
 def test_date_distribution(spark, tmp_path):

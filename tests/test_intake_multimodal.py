@@ -78,6 +78,66 @@ def test_jagged_row_report(spark, tmp_path):
     assert rep == {3: 2, 2: 1, 4: 1}
 
 
+def test_csv_row_errors_reference_carveouts(spark, tmp_path):
+    """Reference ingest.py:868-890 parity: trailing-empty trim, one-extra-
+    column-under-quoting → E_UNQUOTED_DELIM (non-catastrophic), other
+    mismatches → E_JAGGED_ROW (catastrophic); quoted embedded delimiters
+    don't inflate the count."""
+    p = tmp_path / "carve.csv"
+    p.write_text(
+        "a|b|c\n"          # header: 3 columns
+        "1|2|3\n"          # clean                         (row 1)
+        "1|2|3|\n"         # trailing empty → trimmed, clean (row 2)
+        "1|2|3|4\n"        # one extra + quoting → UNQUOTED_DELIM (row 3)
+        "1|2\n"            # short → JAGGED                (row 4)
+        "1|2|3|4|5\n"      # two extra → JAGGED            (row 5)
+        '1|"x|y"|3\n'      # quoted delimiter → clean      (row 6)
+        "1|2|3||\n"        # two trailing empties → clean  (row 7)
+    )
+    rows = {
+        (r["code"], r["line_number"])
+        for r in intake.csv_row_errors(spark, str(p), "|", quoted=True).collect()
+    }
+    assert rows == {
+        ("E_UNQUOTED_DELIM", 3),
+        ("E_JAGGED_ROW", 4),
+        ("E_JAGGED_ROW", 5),
+    }
+    # without quoting, one extra column is plain jagged (reference branch)
+    rows_nq = {
+        (r["code"], r["line_number"])
+        for r in intake.csv_row_errors(spark, str(p), "|", quoted=False).collect()
+    }
+    assert ("E_JAGGED_ROW", 3) in rows_nq
+    # through the rollup: UNQUOTED_DELIM is non-catastrophic, JAGGED is
+    rolled = {
+        r["code"]: r["catastrophic"]
+        for r in E.error_rollup(intake.csv_row_errors(spark, str(p), "|", quoted=True), 7).collect()
+    }
+    assert rolled == {"E_UNQUOTED_DELIM": False, "E_JAGGED_ROW": True}
+
+
+def test_sniff_mismatch_warnings(spark, tmp_path):
+    """Reference runs.py:630-691: high-confidence detected-vs-configured
+    disagreement emits W_*_MISMATCH, detected wins, non-catastrophic."""
+    p = tmp_path / "mm.csv"
+    p.write_text('id|name|amount\n1|"alice"|10.00\n2|"bob"|20.00\n3|"eve"|30.00\n')
+    sniff = intake.sniff_csv(
+        spark, str(p), provided_delimiter=",", provided_quoted=False
+    )
+    assert sniff["delimiter"] == "|"  # detected wins
+    assert sniff["quoted"] is True
+    assert set(sniff["warnings"]) == {"W_DELIMITER_MISMATCH", "W_QUOTING_MISMATCH"}
+    rolled = E.error_rollup(intake.warnings_df(spark, sniff["warnings"]), 3)
+    assert not E.any_catastrophic(rolled)
+    assert {r["code"] for r in rolled.collect()} == set(sniff["warnings"])
+    # agreement (or no provided setting) → no warnings
+    assert intake.sniff_csv(spark, str(p), provided_delimiter="|", provided_quoted=True)[
+        "warnings"
+    ] == []
+    assert intake.sniff_csv(spark, str(p))["warnings"] == []
+
+
 def test_gzip_csv_intake(spark, tmp_path):
     """S1: codec auto-detection by extension — gzipped CSVs read
     transparently (reference decompresses by suffix/magic,

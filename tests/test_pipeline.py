@@ -43,6 +43,28 @@ def test_validate_first_gate(pages, tmp_path):
     assert report["invalid_count"] > 0
 
 
+def test_run_scans_input_once(pages, tmp_path):
+    """The batch writer must read the input EXACTLY once per run — not once
+    per month plus a month-discovery pass (the 100 TB anti-pattern the old
+    loop had). An accumulator-counting pass-through wrapper observes every
+    input-row evaluation."""
+    spark = pages.sparkSession
+    pages = pages.filter(F.col("warc_ts") < F.lit("2023-05-01")).cache()
+    n = pages.count()
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    counted = pages.mapInPandas(counting, pages.schema)
+    pipe = QualityFilterPipeline(spark, str(tmp_path / "once"))
+    res = pipe.run(counted, run_id="s1")
+    assert len(res.batches) == 4  # 4 months written in the one pass
+    assert acc.value == n, f"input evaluated {acc.value / n:.1f}x, want exactly 1x"
+
+
 def test_run_write_and_resume(pages, tmp_path):
     out = str(tmp_path / "filtered")
     # restrict to 4 warc_ts months: batch count, not per-batch volume, is

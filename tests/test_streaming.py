@@ -66,6 +66,36 @@ def test_stateful_dedup_across_microbatches(spark, tmp_path):
     assert got == {("h1", "u1"): "a", ("h1", "u2"): "b", ("h2", "u9"): "c", ("h1", "u3"): "d"}
 
 
+def test_dedup_state_bounded_for_hot_keys():
+    """Two-tier state transition (pure function): exact below the
+    threshold, one-way migration to a CONSTANT-size Bloom bitmap above it;
+    dedup semantics preserved across the migration; zero false drops while
+    exact."""
+    from data_profiler_spark.streaming.stateful import _dedup_step
+
+    bits = 1 << 16  # 8 KiB bitmap for the test
+    ids, bloom = None, None
+    # below threshold: exact tier, every re-send suppressed, state = ids
+    fresh, ids, bloom = _dedup_step(ids, bloom, ["a", "b", "a"], exact_below=100, bloom_bits=bits)
+    assert fresh == [True, True, False] and bloom is None and ids == {"a", "b"}
+    # crossing the threshold migrates to the bloom tier
+    batch = [f"u{i}" for i in range(150)]
+    fresh, ids, bloom = _dedup_step(ids, bloom, batch, exact_below=100, bloom_bits=bits)
+    assert all(fresh) and ids is None and bloom is not None
+    size_after_migration = bloom.nbytes
+    assert size_after_migration == bits // 8
+    # hot key keeps inserting: state size NEVER grows, pre-migration ids
+    # still suppressed, duplicates within the bloom tier suppressed
+    fresh, ids, bloom = _dedup_step(ids, bloom, ["a", "u5", "new1", "new1"], 100, bits)
+    assert fresh == [False, False, True, False]
+    for r in range(5):
+        fresh, ids, bloom = _dedup_step(ids, bloom, [f"r{r}_{i}" for i in range(200)], 100, bits)
+        assert bloom.nbytes == size_after_migration
+    # bloom_bits=None disables migration — exact forever
+    fresh, ids2, bloom2 = _dedup_step(None, None, [f"x{i}" for i in range(500)], 100, None)
+    assert bloom2 is None and len(ids2) == 500
+
+
 def test_windowed_keep_metrics(spark, pages_dir, tmp_path):
     schema = spark.read.parquet(pages_dir).schema
     stream = spark.readStream.schema(schema).parquet(pages_dir)
