@@ -408,6 +408,17 @@ def q_ngram_jaccard_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).orderBy("id1", "id2")
 
 
+def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact near-dup pair graph (J >= 0.8):
+    (doc_id, group_id=min id of component) — oracle is a DuckDB recursive
+    transitive closure over the same pairs."""
+    from data_profiler_spark.operators import dedup
+
+    df = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.8, max_shingle_df=None)
+    return dedup.near_dup_components(pairs).orderBy("doc_id")
+
+
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signature histogram: top-5 16-bit buckets (cnt desc, sim asc)."""
     from data_profiler_spark.operators import dedup
@@ -651,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_key_ratios": q_candidate_key_ratios,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "ngram_jaccard_dup": q_ngram_jaccard_dup,
+        "near_dup_components": q_near_dup_components,
         "simhash_signatures": q_simhash_signatures,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_centroid_confusion": q_ivf_centroid_confusion,
@@ -1035,9 +1047,31 @@ def _candidate_keys_sql() -> str:
     """
 
 
+def _near_dup_components_sql(threshold: float) -> str:
+    """Recursive transitive closure over the exact Jaccard pair graph;
+    component label = min reachable id (incl. self via round trips)."""
+    return f"""
+    {_SH_CTE.replace("WITH s AS", "WITH RECURSIVE s AS")},
+    p AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE {_JACCARD} >= {threshold}
+    ),
+    edges AS (SELECT id1 AS a, id2 AS b FROM p UNION ALL SELECT id2, id1 FROM p),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS group_id
+    FROM reach GROUP BY a
+    """
+
+
 _ORACLE.update(
     {
         "minhash_lsh_dedup": _jaccard_pairs_sql(0.8),
+        "near_dup_components": _near_dup_components_sql(0.8),
         "ngram_jaccard_dup": _jaccard_pairs_sql(0.5),
         "simhash_signatures": f"""
             WITH s AS (

@@ -11,9 +11,13 @@ host noise.
 ``--scaling``: runs the scoring job at two parallelism levels
 (``$SPARK_GRAFT_SCALE_CORES``, default ``local[2]`` vs ``local[8]`` —
 see the SCALE_CORES comment for why not 8 vs 32 on this host) on
-identical input — interleaved A/B/A/B rounds, best per level — and
-reports docs/sec at both + scaling efficiency = (T_N / T_4N) / 4
-(north-rule evidence; measured numbers in BASELINE.md).
+identical input — a FIXED number of interleaved A/B pairs
+(``$SPARK_GRAFT_SCALE_PAIRS``, default 3), best per level — and reports
+docs/sec at both + scaling efficiency = (T_N / T_4N) / 4 (north-rule
+evidence; measured numbers in BASELINE.md). Every round also times a
+pure-JVM reference job in the same window; the JSON carries all rounds,
+the markers, and ``vs_jvm_reference`` (engine scaling relative to raw
+JVM compute, which cancels the shared host's multiplicative noise).
 """
 
 from __future__ import annotations
@@ -74,6 +78,21 @@ BENCH_QUERIES = [
 ]
 
 
+def _jvm_marker(spark, cores: int) -> float:
+    """Pure-JVM reference workload (sha2 fold over a range) timed in the
+    SAME session/window as a scoring round. Ratio engine/marker cancels
+    multiplicative host noise (a throttled window slows both identically),
+    so marker-relative scaling is meaningful even when raw wall times are
+    neighbor-dominated."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    spark.range(0, 20_000_000, 1, cores * 2).select(
+        F.max(F.sha2(F.col("id").cast("string"), 256)).alias("h")
+    ).collect()
+    return time.time() - t0
+
+
 def _run_score_round(cores: int, n_docs: int) -> float:
     """Steady-state scoring throughput at ``local[cores]``: best timed run
     of score(cached pages) → noop sink. Excluded from the timed window:
@@ -102,20 +121,23 @@ def _run_score_round(cores: int, n_docs: int) -> float:
     pages.count()
     warm = pages_df(spark, cores * 20, partitions=cores * 2)
     score_pages(warm).write.mode("overwrite").format("noop").save()
+    _jvm_marker(spark, cores)  # codegen warm-up for the marker job
+    marker = _jvm_marker(spark, cores)
     best = float("inf")
     for _ in range(2):
         t0 = time.time()
         score_pages(pages).write.mode("overwrite").format("noop").save()
         best = min(best, time.time() - t0)
     spark.stop()
-    return best
+    return best, marker
 
 
 def main() -> None:
     if "--score-subprocess" in sys.argv:
         cores = int(sys.argv[sys.argv.index("--score-subprocess") + 1])
         n = int(sys.argv[sys.argv.index("--score-subprocess") + 2])
-        print(json.dumps({"elapsed": _run_score_round(cores, n)}))
+        elapsed, marker = _run_score_round(cores, n)
+        print(json.dumps({"elapsed": elapsed, "marker": marker}))
         return
 
     if "--scaling" in sys.argv:
@@ -133,13 +155,33 @@ def main() -> None:
         # optional stopping would bias the reported efficiency upward) and
         # the efficiency from all rounds is the honest estimator.
         results: dict[int, float] = {}
+        rounds: dict[str, list[float]] = {str(SCALE_LO): [], str(SCALE_HI): []}
+        markers: dict[str, list[float]] = {str(SCALE_LO): [], str(SCALE_HI): []}
+        ratios: dict[int, list[float]] = {SCALE_LO: [], SCALE_HI: []}
         n_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
         for _pair in range(n_pairs):
             for cores in (SCALE_LO, SCALE_HI):
-                elapsed = _run_score_round(cores, SCALE_N)
+                elapsed, marker = _run_score_round(cores, SCALE_N)
                 results[cores] = min(results.get(cores, float("inf")), elapsed)
-                print(f"# local[{cores}]: {elapsed:.2f}s", file=sys.stderr, flush=True)
+                rounds[str(cores)].append(round(elapsed, 2))
+                markers[str(cores)].append(round(marker, 2))
+                ratios[cores].append(elapsed / marker)
+                print(
+                    f"# local[{cores}]: {elapsed:.2f}s (marker {marker:.2f}s)",
+                    file=sys.stderr,
+                    flush=True,
+                )
         eff = (results[SCALE_LO] / results[SCALE_HI]) / (SCALE_HI / SCALE_LO)
+        # Marker-relative scaling: R = engine_time / same-round JVM-reference
+        # time — to first order both slow down together under host
+        # throttling, so R is window-normalized. MEDIAN per level (min
+        # would pair one round's throttled marker with another's recovered
+        # score run). R_lo / R_hi ≈ 1 means the engine scales like the
+        # pure-JVM reference workload between the two levels; >= 1 means
+        # no worse. The marker is short, so residual within-round noise
+        # remains — read alongside `rounds`/`jvm_markers`.
+        med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+        vs_ref = med(ratios[SCALE_LO]) / med(ratios[SCALE_HI])
         t8, t32 = results[SCALE_LO], results[SCALE_HI]
         print(
             json.dumps(
@@ -154,6 +196,15 @@ def main() -> None:
                         f"t_local{SCALE_LO}_sec": round(t8, 2),
                         f"t_local{SCALE_HI}_sec": round(t32, 2),
                     },
+                    # every round's wall time, in order — min-per-level is
+                    # the estimator, but a reader can see which windows
+                    # were host-throttled (all levels flatten together)
+                    "rounds": rounds,
+                    "jvm_markers": markers,
+                    # engine scaling relative to the same-window pure-JVM
+                    # reference (host-noise-cancelled; >= 1.0 means the
+                    # engine scales no worse than raw JVM compute)
+                    "vs_jvm_reference": round(vs_ref, 4),
                 }
             )
         )

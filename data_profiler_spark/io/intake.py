@@ -112,13 +112,23 @@ def normalize_line_endings(c: Column) -> Column:
 
 
 def line_ending_style(agg_row: dict) -> tuple[str, bool]:
-    """(majority style, mixed?) from the counts row — driver-side vote."""
+    """(majority style, mixed?) from the counts row — driver-side vote.
+    A mixed verdict should be recorded as ``W_MIXED_LINE_ENDINGS`` through
+    :func:`warnings_df` (non-catastrophic, reference ``ingest.py:312-430``
+    warning semantics)."""
     counts = {k: agg_row.get(f"{k}_count", 0) or 0 for k in ("crlf", "lf", "cr")}
     present = [k for k, v in counts.items() if v > 0]
     if not present:
         return "lf", False
     style = max(counts, key=lambda k: (counts[k], k))
     return style, len(present) > 1
+
+
+def line_ending_warnings(agg_row: dict) -> list[str]:
+    """Warning codes from the S3 counts row — feeds ``warnings_df`` →
+    ``error_rollup`` alongside the sniff mismatch warnings."""
+    _, mixed = line_ending_style(agg_row)
+    return ["W_MIXED_LINE_ENDINGS"] if mixed else []
 
 
 # --------------------------------------------------------------------------

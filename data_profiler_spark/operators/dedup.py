@@ -382,6 +382,67 @@ def simhash_pairs(
 
 
 # --------------------------------------------------------------------------
+# Near-dup components (pair graph → clusters → keep list)
+# --------------------------------------------------------------------------
+
+def near_dup_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components over a near-dup pair graph: (doc_id, group_id)
+    for every id that appears in >= 1 pair, with ``group_id`` = the min id
+    of its component — the step between pair generation
+    (:func:`minhash_lsh_pairs` etc.) and "keep one representative per
+    cluster" that an at-scale dedup pipeline actually executes.
+
+    Min-label propagation: each iteration pushes the smallest known label
+    across edges (one join + one groupBy-min, both shuffling on ids) and
+    stops when no label changes. Iteration count = component diameter —
+    near-dup clusters are small and dense (duplicates of a page link to
+    each other), so this converges in a handful of rounds; a graph with
+    adversarially long chains would want the large-star/small-star
+    contraction instead. ``localCheckpoint`` cuts lineage each round so
+    the plan doesn't grow with iterations.
+    """
+    edges = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels.withColumnRenamed("v", "a"), "a")
+            .groupBy("b")
+            .agg(F.min("label").alias("nl"))
+            .withColumnRenamed("b", "v")
+        )
+        updated = labels.join(neigh, "v", "left").select(
+            "v",
+            F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("new_label"),
+            F.col("label"),
+        )
+        changed = updated.filter(F.col("new_label") < F.col("label")).count()
+        labels = updated.select("v", F.col("new_label").alias("label")).localCheckpoint(
+            eager=True
+        )
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("group_id"))
+
+
+def dedup_keep_ids(ids: DataFrame, components: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep list: every id minus non-representative near-dup members (the
+    component's min id survives). One left-anti join against the (small)
+    drop set — ids outside any component are untouched."""
+    drops = components.filter(F.col("doc_id") != F.col("group_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return ids.select(id_col).join(drops, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
 # Exact dedup
 # --------------------------------------------------------------------------
 

@@ -184,6 +184,42 @@ def centroid_assign(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end IVF search: rank cells by query→centroid cosine
+    DRIVER-side (k×d floats — no cluster work), keep the ``nprobe``
+    nearest cells, assign-and-filter vectors to those cells in one narrow
+    map, exact cosine top-k within. On a real deployment the cell column
+    is precomputed (:func:`centroid_assign`) and the table partitioned by
+    it, so the probe is a partition-pruned scan of ~nprobe/k-cells of the
+    data; here the assignment argmax rides the same scan."""
+    def cos(a: list[float], b: list[float]) -> float:
+        na = sum(x * x for x in a) ** 0.5 or 1.0
+        nb = sum(x * x for x in b) ** 0.5 or 1.0
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    probe_cells = [
+        int(lbl)
+        for lbl, vec in sorted(centroids, key=lambda c: -cos(query_vec, c[1]))[:nprobe]
+    ]
+    a = _as_double(F.col(vec_col))
+    scored = F.array(
+        *[
+            F.struct(cosine_expr(a, _lit_vec(vec)).alias("sim"), F.lit(int(lbl)).alias("cell"))
+            for lbl, vec in centroids
+        ]
+    )
+    pruned = df.filter(F.array_max(scored)["cell"].isin(probe_cells))
+    return brute_force_topk(pruned, query_vec, k, id_col, vec_col)
+
+
 def projection_directions(dim: int, m: int, seed: int = 7) -> list[list[float]]:
     """``m`` deterministic unit-norm projection directions (normalized
     :func:`random_hyperplanes` rows) for grid blocking."""

@@ -87,11 +87,11 @@ def parsed_date(c: Column, fmt_pattern: str, spark_fmt: str) -> Column:
 
 
 def date_any_format(c: Column) -> Column:
-    """First-matching-format parse in reference preference order."""
-    result = F.lit(None).cast("date")
-    for _, pat, sf in reversed(DATE_FORMATS):
-        result = F.when(c.rlike(pat) & parsed_date(c, pat, sf).isNotNull(), parsed_date(c, pat, sf)).otherwise(result)
-    return result
+    """First-matching-format parse in reference preference order. Each
+    :func:`parsed_date` is already regex-gated and null on parse failure,
+    so coalesce = first format that matches AND parses — one
+    ``try_to_timestamp`` per format instead of the two a when-chain costs."""
+    return F.coalesce(*[parsed_date(c, pat, sf) for _, pat, sf in DATE_FORMATS])
 
 
 def is_date_in_range(d: Column) -> Column:

@@ -93,6 +93,25 @@ def test_simhash_banded_join_is_lossless(spark, docs):
     sub.unpersist()
 
 
+def test_near_dup_components_and_keep_list(spark, docs):
+    """Min-label propagation must find exact connected components (chain +
+    separate pair + untouched singletons), and the keep list drops exactly
+    the non-representative members."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id1 long, id2 long")
+    comp = {r["doc_id"]: r["group_id"] for r in dedup.near_dup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+    ids = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    kept = {r["doc_id"] for r in dedup.dedup_keep_ids(ids, dedup.near_dup_components(pairs)).collect()}
+    assert kept == {1, 4, 5, 7}  # singletons 4 and 7 untouched
+    # on the fixture: every pair member gets a group; group_id is a member
+    fpairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8, max_shingle_df=None)
+    fcomp = dedup.near_dup_components(fpairs)
+    members = {r["id1"] for r in fpairs.collect()} | {r["id2"] for r in fpairs.collect()}
+    got = {r["doc_id"]: r["group_id"] for r in fcomp.collect()}
+    assert set(got) == members
+    assert all(g in members and g <= d for d, g in got.items())
+
+
 def test_exact_dedup_partitions_rows(docs):
     """Every row lands in exactly one hash group; injected exact copies
     collapse into their source's group."""
@@ -144,6 +163,25 @@ def test_ivf_centroids_separate_labels(emb):
     assert acc >= 0.25, f"centroid assignment accuracy {acc}"
     # every vector lands in exactly one cell
     assert assigned.count() == emb.count()
+
+
+def test_ivf_topk_recall_and_pruning(emb):
+    """End-to-end IVF search: better-than-chance recall vs the exact
+    baseline while scanning only the probed cells."""
+    qv = [float(x) for x in emb.filter("vec_id = 3").select("embedding").first()[0]]
+    cents = [
+        (r["label"], [float(x) for x in r["centroid"]])
+        for r in similarity.label_centroids(emb).collect()
+    ]
+    base = emb.filter("vec_id <> 3")
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(base, qv, 10).collect()]
+    got = [r["vec_id"] for r in similarity.ivf_topk(base, qv, cents, 10, nprobe=3).collect()]
+    assert len(got) == 10
+    recall = len(set(exact) & set(got)) / 10
+    assert recall >= 0.4, f"ivf recall@10={recall}"
+    # full probe (nprobe = all cells) must equal the exact baseline
+    full = [r["vec_id"] for r in similarity.ivf_topk(base, qv, cents, 10, nprobe=len(cents)).collect()]
+    assert full == exact
 
 
 def test_embedding_near_dup_symmetric_bound(emb):

@@ -78,6 +78,18 @@ def test_jagged_row_report(spark, tmp_path):
     assert rep == {3: 2, 2: 1, 4: 1}
 
 
+def test_mixed_line_ending_warning(spark):
+    df = spark.createDataFrame([("a\r\nb\n",), ("c\n",)], "text string")
+    agg = df.agg(*intake.line_ending_counts_exprs("text")).collect()[0].asDict()
+    codes = intake.line_ending_warnings(agg)
+    assert codes == ["W_MIXED_LINE_ENDINGS"]
+    rolled = E.error_rollup(intake.warnings_df(spark, codes), 2)
+    assert not E.any_catastrophic(rolled)
+    pure = spark.createDataFrame([("a\nb\n",)], "text string")
+    agg2 = pure.agg(*intake.line_ending_counts_exprs("text")).collect()[0].asDict()
+    assert intake.line_ending_warnings(agg2) == []
+
+
 def test_csv_row_errors_reference_carveouts(spark, tmp_path):
     """Reference ingest.py:868-890 parity: trailing-empty trim, one-extra-
     column-under-quoting → E_UNQUOTED_DELIM (non-catastrophic), other
