@@ -73,6 +73,15 @@ def signals_from_parts(c: Column, words: Column, lines: Column) -> Column:
     dup_line_frac = F.when(
         lc > 0, 1.0 - F.size(F.array_distinct(lines)) / lc
     ).otherwise(F.lit(0.0))
+    # 2-gram repetition: total 2-gram count is just wc-1, so the transform
+    # is referenced ONCE (inside array_distinct) — no tree duplication.
+    two_grams = F.transform(
+        F.sequence(F.lit(1), wc - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+    )
+    dup_2gram_frac = F.when(
+        wc >= 2, 1.0 - F.size(F.array_distinct(two_grams)) / (wc - 1)
+    ).otherwise(F.lit(0.0))
     return F.struct(
         wc.alias("word_count"),
         lc.alias("line_count"),
@@ -83,6 +92,7 @@ def signals_from_parts(c: Column, words: Column, lines: Column) -> Column:
         stopword_hits.alias("stopword_hits"),
         alpha_frac.cast("double").alias("alpha_word_fraction"),
         dup_line_frac.cast("double").alias("dup_line_fraction"),
+        dup_2gram_frac.cast("double").alias("dup_2gram_fraction"),
     )
 
 
@@ -131,6 +141,7 @@ def heuristic_drop_reasons_expr(sig: Column) -> Column:
         ("stopwords", sig["stopword_hits"] < rules.MIN_STOPWORD_HITS),
         ("alpha_words", sig["alpha_word_fraction"] < rules.MIN_ALPHA_WORD_FRACTION),
         ("dup_lines", sig["dup_line_fraction"] > rules.MAX_DUP_LINE_FRACTION),
+        ("dup_2grams", sig["dup_2gram_fraction"] > rules.MAX_DUP_2GRAM_FRACTION),
     ]
     return F.array_compact(
         F.array(*[F.when(cond, F.lit(code)) for code, cond in checks])

@@ -27,6 +27,11 @@ MAX_ELLIPSIS_LINE_FRACTION = 0.30
 MIN_STOPWORD_HITS = 2  # C4-style: distinct stopwords present
 MIN_ALPHA_WORD_FRACTION = 0.80
 MAX_DUP_LINE_FRACTION = 0.30
+# Gopher-style n-gram repetition (north_star "repetition n-gram dedup
+# counts"): fraction of word-2-gram positions whose 2-gram already occurred
+# (1 - distinct/total). Clean prose sits well under 0.3; looped boilerplate
+# ("buy now buy now …") approaches 1.
+MAX_DUP_2GRAM_FRACTION = 0.50
 
 # C4's stopword-evidence list.
 STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
@@ -54,5 +59,6 @@ RULE_ORDER = (
     "stopwords",
     "alpha_words",
     "dup_lines",
+    "dup_2grams",
     "perplexity",
 )

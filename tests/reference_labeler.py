@@ -40,6 +40,9 @@ def signals(text: str) -> dict:
     stop_hits = sum(1 for s in rules.STOPWORDS if s in lower_words)
     alpha = sum(1 for w in words if _ALPHA_RE.search(w))
     distinct_lines = len(set(lines))
+    n2 = wc - 1
+    grams = [words[i] + " " + words[i + 1] for i in range(n2)] if wc >= 2 else []
+    dup_2gram = 1.0 - len(set(grams)) / n2 if n2 > 0 else 0.0
     return {
         "word_count": wc,
         "line_count": lc,
@@ -50,6 +53,7 @@ def signals(text: str) -> dict:
         "stopword_hits": stop_hits,
         "alpha_word_fraction": alpha / wc if wc else 0.0,
         "dup_line_fraction": 1.0 - distinct_lines / lc if lc else 0.0,
+        "dup_2gram_fraction": dup_2gram,
     }
 
 
@@ -75,6 +79,8 @@ def heuristic_reasons(sig: dict) -> list[str]:
         out.append("alpha_words")
     if sig["dup_line_fraction"] > rules.MAX_DUP_LINE_FRACTION:
         out.append("dup_lines")
+    if sig["dup_2gram_fraction"] > rules.MAX_DUP_2GRAM_FRACTION:
+        out.append("dup_2grams")
     return out
 
 

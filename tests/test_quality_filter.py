@@ -96,3 +96,35 @@ def test_langid_accuracy_on_ground_truth(scored_vs_ref):
 def test_determinism_same_doc():
     a, b = gen_doc(123), gen_doc(123)
     assert a == b
+
+
+def test_dup_2gram_rule_fires(spark):
+    """Gopher-style n-gram repetition (north_star 'repetition n-gram dedup
+    counts'): looped boilerplate trips dup_2grams, clean prose doesn't, and
+    the Spark expression agrees with the labeler on both."""
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.functions.textstats import (
+        heuristic_drop_reasons_expr,
+        with_signals,
+    )
+
+    looped = " ".join(["buy now"] * 50)
+    clean = (
+        "The quick brown fox jumps over the lazy dog and then rests with a "
+        "friend in the shade of an old oak tree near the river bank."
+    )
+    df = spark.createDataFrame([(0, looped), (1, clean)], "doc_id int, text string")
+    out = {
+        r["doc_id"]: r
+        for r in with_signals(df)
+        .withColumn("reasons", heuristic_drop_reasons_expr(F.col("signals")))
+        .collect()
+    }
+    assert "dup_2grams" in out[0]["reasons"]
+    assert "dup_2grams" not in out[1]["reasons"]
+    for i, text in ((0, looped), (1, clean)):
+        sig = ref.signals(text)
+        got = out[i]["signals"].asDict()["dup_2gram_fraction"]
+        assert got == pytest.approx(sig["dup_2gram_fraction"], abs=1e-9)
+    assert out[0]["signals"]["dup_2gram_fraction"] > 0.9
