@@ -523,6 +523,15 @@ def q_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_key_skew_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew summary (operators/skew.py): the measurement behind the
+    pipeline's salt-bucket sizing (north rule 'skew handled explicitly')."""
+    from data_profiler_spark.operators.skew import key_skew_report
+
+    df = _t(spark, sf_dir, "documents")
+    return key_skew_report(df, F.col("source"))
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via window functions: 30-min-gap sessions per user."""
     df = _t(spark, sf_dir, "events")
@@ -670,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "quality_score_by_source": q_quality_score_by_source,
         "fingerprint_stats": q_fingerprint_stats,
+        "key_skew_source": q_key_skew_source,
         "user_sessions": q_user_sessions,
         "line_ending_stats": q_line_ending_stats,
         "moments_nchars": q_moments_nchars,
@@ -1139,6 +1149,18 @@ _ORACLE.update(
             SELECT source, count(*) AS docs, count(DISTINCT fp) AS distinct_fp,
                    count(*) - count(DISTINCT fp) AS dup_docs
             FROM f GROUP BY source
+        """,
+        "key_skew_source": """
+            WITH c AS (SELECT source AS key, count(*) AS cnt FROM documents GROUP BY source)
+            SELECT count(*) AS n_keys,
+                   sum(cnt)::BIGINT AS total_rows,
+                   max(cnt) AS max_cnt,
+                   round(avg(cnt), 6) AS avg_cnt,
+                   round(quantile_cont(cnt::DOUBLE, 0.5), 6) AS p50_cnt,
+                   round(quantile_cont(cnt::DOUBLE, 0.99), 6) AS p99_cnt,
+                   round(max(cnt)::DOUBLE / avg(cnt), 6) AS skew_ratio,
+                   round(max(cnt)::DOUBLE / sum(cnt), 6) AS top1_share
+            FROM c
         """,
         "user_sessions": """
             WITH g AS (

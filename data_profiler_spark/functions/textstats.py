@@ -54,6 +54,10 @@ def signals_from_parts(c: Column, words: Column, lines: Column) -> Column:
         words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
     )
     mean_word_len = F.when(wc > 0, total_word_len / wc).otherwise(F.lit(0.0))
+    total_line_len = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+    mean_line_len = F.when(lc > 0, total_line_len / lc).otherwise(F.lit(0.0))
     symbol_count = _count_occurrences(c, "#") + _count_occurrences(c, "...")
     symbol_ratio = F.when(wc > 0, symbol_count / wc).otherwise(F.lit(0.0))
     bullet_lines = F.size(
@@ -86,6 +90,7 @@ def signals_from_parts(c: Column, words: Column, lines: Column) -> Column:
         wc.alias("word_count"),
         lc.alias("line_count"),
         mean_word_len.cast("double").alias("mean_word_length"),
+        mean_line_len.cast("double").alias("mean_line_length"),
         symbol_ratio.cast("double").alias("symbol_ratio"),
         bullet_frac.cast("double").alias("bullet_line_fraction"),
         ellipsis_frac.cast("double").alias("ellipsis_line_fraction"),
@@ -132,6 +137,7 @@ def heuristic_drop_reasons_expr(sig: Column) -> Column:
                 | (sig["mean_word_length"] > rules.MAX_MEAN_WORD_LENGTH)
             ),
         ),
+        ("mean_line_length", sig["mean_line_length"] > rules.MAX_MEAN_LINE_LENGTH),
         ("symbol_ratio", sig["symbol_ratio"] > rules.MAX_SYMBOL_TO_WORD_RATIO),
         ("bullet_lines", sig["bullet_line_fraction"] > rules.MAX_BULLET_LINE_FRACTION),
         (

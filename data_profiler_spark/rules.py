@@ -32,6 +32,11 @@ MAX_DUP_LINE_FRACTION = 0.30
 # (1 - distinct/total). Clean prose sits well under 0.3; looped boilerplate
 # ("buy now buy now …") approaches 1.
 MAX_DUP_2GRAM_FRACTION = 0.50
+# Mean length of non-empty trimmed lines (north_star "mean line length").
+# Web prose sits at ~30-110 chars/line (fixture p99 ≈ 100); thousands of
+# chars per line is minified JS/CSS or an unbroken data blob — C4-style
+# structure filter, deliberately far above prose so it only fires on blobs.
+MAX_MEAN_LINE_LENGTH = 2000.0
 
 # C4's stopword-evidence list.
 STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
@@ -53,6 +58,7 @@ RULE_ORDER = (
     "too_few_words",
     "too_many_words",
     "mean_word_length",
+    "mean_line_length",
     "symbol_ratio",
     "bullet_lines",
     "ellipsis_lines",

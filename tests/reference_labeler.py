@@ -33,6 +33,7 @@ def signals(text: str) -> dict:
     wc = len(words)
     lc = len(lines)
     mean_wl = sum(len(w) for w in words) / wc if wc else 0.0
+    mean_ll = sum(len(l) for l in lines) / lc if lc else 0.0
     symbol_count = text.count("#") + text.count("...")
     bullet = sum(1 for l in lines if l[0] in "-*•")
     ellipsis = sum(1 for l in lines if l.endswith("...") or l.endswith("…"))
@@ -47,6 +48,7 @@ def signals(text: str) -> dict:
         "word_count": wc,
         "line_count": lc,
         "mean_word_length": mean_wl,
+        "mean_line_length": mean_ll,
         "symbol_ratio": symbol_count / wc if wc else 0.0,
         "bullet_line_fraction": bullet / lc if lc else 0.0,
         "ellipsis_line_fraction": ellipsis / lc if lc else 0.0,
@@ -67,6 +69,8 @@ def heuristic_reasons(sig: dict) -> list[str]:
         rules.MIN_MEAN_WORD_LENGTH <= sig["mean_word_length"] <= rules.MAX_MEAN_WORD_LENGTH
     ):
         out.append("mean_word_length")
+    if sig["mean_line_length"] > rules.MAX_MEAN_LINE_LENGTH:
+        out.append("mean_line_length")
     if sig["symbol_ratio"] > rules.MAX_SYMBOL_TO_WORD_RATIO:
         out.append("symbol_ratio")
     if sig["bullet_line_fraction"] > rules.MAX_BULLET_LINE_FRACTION:

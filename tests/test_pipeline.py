@@ -99,3 +99,30 @@ def test_run_write_and_resume(pages, tmp_path):
     res3 = pipe.run(pages, run_id="r1")
     assert len(res3.batches) == 1
     assert pages.sparkSession.read.parquet(os.path.join(out, "data")).count() == pages.count()
+
+
+def test_key_skew_report_and_salt_recommendation(pages):
+    """Skew measurement on the synthetic Zipf host distribution: hot hosts
+    show up in skew_ratio, and the recommendation flattens them to a
+    bounded multiple of the average key."""
+    from data_profiler_spark.operators.skew import (
+        host_expr,
+        key_skew_report,
+        recommend_salt_buckets,
+    )
+
+    rep = key_skew_report(pages, host_expr(F.col("url"))).collect()[0].asDict()
+    assert rep["total_rows"] == pages.count()
+    assert rep["n_keys"] > 1
+    assert rep["max_cnt"] >= rep["avg_cnt"]
+    assert rep["skew_ratio"] > 1.0  # Zipf hosts are skewed
+    assert 0 < rep["top1_share"] < 1
+    n = recommend_salt_buckets(rep)
+    assert 1 <= n <= 4096 and (n & (n - 1)) == 0  # power of two
+    # a perfectly uniform key needs no salting
+    assert recommend_salt_buckets({"skew_ratio": 1.0}) == 1
+    # a 1000x-hot key wants ~512 buckets at the default target
+    assert recommend_salt_buckets({"skew_ratio": 1000.0}) == 512
+    # host extraction sanity
+    hosts = pages.select(host_expr(F.col("url")).alias("h")).limit(5).collect()
+    assert all(r["h"] and "/" not in r["h"] for r in hosts)

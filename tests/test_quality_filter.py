@@ -128,3 +128,31 @@ def test_dup_2gram_rule_fires(spark):
         got = out[i]["signals"].asDict()["dup_2gram_fraction"]
         assert got == pytest.approx(sig["dup_2gram_fraction"], abs=1e-9)
     assert out[0]["signals"]["dup_2gram_fraction"] > 0.9
+
+
+def test_mean_line_length_rule_fires(spark):
+    """north_star 'mean line length': an unbroken minified-style blob trips
+    mean_line_length; normal multi-line prose does not; Spark and labeler
+    agree on the signal value."""
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.functions.textstats import (
+        heuristic_drop_reasons_expr,
+        with_signals,
+    )
+
+    blob = "var a=1;" * 400  # one 3200-char line
+    prose = "The cat sat on the mat with a friend.\n" * 20
+    df = spark.createDataFrame([(0, blob), (1, prose)], "doc_id int, text string")
+    out = {
+        r["doc_id"]: r
+        for r in with_signals(df)
+        .withColumn("reasons", heuristic_drop_reasons_expr(F.col("signals")))
+        .collect()
+    }
+    assert "mean_line_length" in out[0]["reasons"]
+    assert "mean_line_length" not in out[1]["reasons"]
+    for i, text in ((0, blob), (1, prose)):
+        sig = ref.signals(text)
+        got = out[i]["signals"].asDict()["mean_line_length"]
+        assert got == pytest.approx(sig["mean_line_length"], abs=1e-9)
