@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "dedup_exact",
     "ann_cosine_top10",
     "minhash_lsh_dedup",
+    "ngram_jaccard_dup",
+    "simhash_signatures",
+    "embedding_near_dup",
     "user_sessions",
     "quality_score_by_source",
 ]

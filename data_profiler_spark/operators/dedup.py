@@ -249,12 +249,15 @@ def ngram_jaccard_pairs(
     self-join is quadratic in per-shingle document frequency, so one
     boilerplate shingle ("all rights reserved …") at 10^12 docs would
     otherwise detonate the join. A shingle above the cap is dropped from
-    candidate generation only — candidates found through rarer shingles are
-    then re-verified against the FULL shingle sets, so a qualifying pair is
-    missed only if every one of its shared shingles is ultra-frequent.
-    Quantify that bound with :func:`shingle_df_report` (``dropped_shingles
-    == 0`` ⇒ the capped run is exactly the uncapped result). Pass ``None``
-    to force the uncapped count-shaped path.
+    CANDIDATE GENERATION only; the hot shingles' contribution to each
+    candidate's intersection is recovered exactly with candidate-keyed
+    joins against the dropped postings (per-doc hot shingles are few, so
+    that is linear in candidates) — the capped path is count-shaped
+    end-to-end and a qualifying pair is missed only if every one of its
+    shared shingles is ultra-frequent. Quantify that bound with
+    :func:`shingle_df_report` (``dropped_shingles == 0`` ⇒ the capped run
+    is exactly the uncapped result). Pass ``None`` to force the uncapped
+    single-self-join path.
     """
     sets = _shingle_sets(df, id_col, text_col, shingle)
     # explode_outer + null-filter: see the posexplode_outer note in
@@ -263,15 +266,58 @@ def ngram_jaccard_pairs(
     inv = sets.select("_id", F.explode_outer("_sh").alias("shingle")).filter(
         F.col("shingle").isNotNull()
     )
-    if max_shingle_df is not None:
-        freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        pruned = inv.join(freq.filter(F.col("df") <= max_shingle_df), "shingle")
-        a = pruned.select(F.col("_id").alias("id1"), "shingle")
-        b = pruned.select(F.col("_id").alias("id2"), "shingle")
-        cand = (
-            a.join(b, "shingle").filter(F.col("id1") < F.col("id2")).select("id1", "id2").distinct()
+    sizes = sets.select("_id", F.size("_sh").alias("_sz"))
+    s1 = sizes.select(F.col("_id").alias("id1"), F.col("_sz").alias("_sz1"))
+    s2 = sizes.select(F.col("_id").alias("id2"), F.col("_sz").alias("_sz2"))
+
+    def _from_shared(shared: DataFrame) -> DataFrame:
+        return (
+            shared.join(s1, "id1")
+            .join(s2, "id2")
+            .withColumn(
+                "jaccard", F.col("_shared") / (F.col("_sz1") + F.col("_sz2") - F.col("_shared"))
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
         )
-        return _verify_pairs(cand, sets, id_col, threshold)
+
+    if max_shingle_df is not None:
+        # Count-shaped even WITH the cap: candidate generation self-joins
+        # only the pruned (rare-shingle) postings; the dropped (hot-shingle)
+        # share of each candidate's intersection is then recovered with two
+        # candidate-keyed joins against the dropped postings — per-doc hot
+        # shingles are few by definition, so this is linear in candidates,
+        # and NO shingle array ever crosses a shuffle. Exactness bound
+        # unchanged: only pairs whose EVERY shared shingle is hot are missed
+        # (quantify with shingle_df_report).
+        freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        kept = inv.join(freq.filter(F.col("df") <= max_shingle_df).select("shingle"), "shingle")
+        dropped = inv.join(freq.filter(F.col("df") > max_shingle_df).select("shingle"), "shingle")
+        a = kept.select(F.col("_id").alias("id1"), "shingle")
+        b = kept.select(F.col("_id").alias("id2"), "shingle")
+        shared_kept = (
+            a.join(b, "shingle")
+            .filter(F.col("id1") < F.col("id2"))
+            .groupBy("id1", "id2")
+            .agg(F.count(F.lit(1)).alias("_shared_kept"))
+        )
+        d1 = dropped.select(F.col("_id").alias("id1"), "shingle")
+        d2 = dropped.select(F.col("_id").alias("id2"), "shingle")
+        shared_dropped = (
+            shared_kept.select("id1", "id2")
+            .join(d1, "id1")
+            .join(d2, ["id2", "shingle"])
+            .groupBy("id1", "id2")
+            .agg(F.count(F.lit(1)).alias("_shared_dropped"))
+        )
+        shared = shared_kept.join(shared_dropped, ["id1", "id2"], "left").select(
+            "id1",
+            "id2",
+            (F.col("_shared_kept") + F.coalesce(F.col("_shared_dropped"), F.lit(0))).alias(
+                "_shared"
+            ),
+        )
+        return _from_shared(shared)
     a = inv.select(F.col("_id").alias("id1"), "shingle")
     b = inv.select(F.col("_id").alias("id2"), "shingle")
     shared = (
@@ -280,18 +326,7 @@ def ngram_jaccard_pairs(
         .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("_shared"))
     )
-    sizes = sets.select("_id", F.size("_sh").alias("_sz"))
-    s1 = sizes.select(F.col("_id").alias("id1"), F.col("_sz").alias("_sz1"))
-    s2 = sizes.select(F.col("_id").alias("id2"), F.col("_sz").alias("_sz2"))
-    return (
-        shared.join(s1, "id1")
-        .join(s2, "id2")
-        .withColumn(
-            "jaccard", F.col("_shared") / (F.col("_sz1") + F.col("_sz2") - F.col("_shared"))
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return _from_shared(shared)
 
 
 # --------------------------------------------------------------------------
