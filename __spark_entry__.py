@@ -646,6 +646,28 @@ def q_events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_in_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join (operators/rangejoin.py): all events falling in
+    the hour after each sampled anchor event, aggregated per anchor — a
+    point-in-interval join with NO inequality cross product in the plan."""
+    from data_profiler_spark.operators.rangejoin import point_in_interval_join
+
+    events = _t(spark, sf_dir, "events")
+    ev = events.select(F.col("ts").cast("timestamp").cast("double").alias("p"), "value")
+    anchors = (
+        events.filter(F.pmod("event_id", F.lit(200)) == 0)
+        .select(
+            F.col("event_id").alias("anchor_id"),
+            F.col("ts").cast("timestamp").cast("double").alias("s"),
+        )
+        .withColumn("e", F.col("s") + F.lit(3600.0))
+    )
+    j = point_in_interval_join(ev, anchors, "p", "s", "e", bucket_width=3600.0)
+    return j.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_nchars": q_profile_nchars,
@@ -686,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_rollup": q_error_rollup,
         "candidate_keys_customer": q_candidate_keys_customer,
         "events_asof_orders": q_events_asof_orders,
+        "events_in_order_window": q_events_in_order_window,
     }
 
 
@@ -1203,6 +1226,16 @@ _ORACLE.update(
             FROM e, t GROUP BY code, total
         """,
         "candidate_keys_customer": _candidate_keys_sql(),
+        "events_in_order_window": """
+            WITH a AS (
+              SELECT event_id AS anchor_id, epoch(ts::TIMESTAMP) AS s
+              FROM events WHERE event_id % 200 = 0
+            )
+            SELECT a.anchor_id, count(*) AS n_events, round(sum(e.value), 4) AS sum_value
+            FROM events e JOIN a
+              ON epoch(e.ts::TIMESTAMP) >= a.s AND epoch(e.ts::TIMESTAMP) <= a.s + 3600
+            GROUP BY a.anchor_id
+        """,
         "events_asof_orders": """
             WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS t FROM events),
             o AS (SELECT o_custkey, o_orderdate::TIMESTAMP AS t FROM orders)

@@ -55,3 +55,42 @@ def test_asof_join_tolerance(spark):
         left, right, "t", "key", "rkey", ["val"], tolerance=F.expr("interval 30 days")
     )
     assert tight.first()["_asof_val"] is None  # match older than tolerance nulled
+
+
+def test_point_in_interval_join_lossless_and_join_shaped(spark):
+    """Bucketized range join must equal the naive inequality join exactly
+    (every true pair shares the point's bucket) and must not compile to a
+    nested-loop/cartesian plan."""
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.operators.rangejoin import point_in_interval_join
+
+    points = spark.createDataFrame(
+        [(i, float(i * 3 % 97)) for i in range(200)], "pid int, p double"
+    )
+    intervals = spark.createDataFrame(
+        [(j, float(j * 7 % 90), float(j * 7 % 90) + 10.0) for j in range(40)],
+        "iid int, s double, e double",
+    )
+    fast = {
+        (r["pid"], r["iid"])
+        for r in point_in_interval_join(points, intervals, "p", "s", "e", 10.0).collect()
+    }
+    naive = {
+        (r["pid"], r["iid"])
+        for r in points.join(
+            intervals, (F.col("p") >= F.col("s")) & (F.col("p") <= F.col("e"))
+        ).collect()
+    }
+    assert fast == naive and len(fast) > 0
+    plan = point_in_interval_join(points, intervals, "p", "s", "e", 10.0)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    # equi-key variant stays lossless
+    pk = points.withColumn("k", F.pmod("pid", F.lit(3)))
+    ik = intervals.withColumn("k", F.pmod("iid", F.lit(3)))
+    fast_k = {
+        (r["pid"], r["iid"])
+        for r in point_in_interval_join(pk, ik, "p", "s", "e", 10.0, by="k").collect()
+    }
+    naive_k = {(p, i) for (p, i) in naive if p % 3 == i % 3}
+    assert fast_k == naive_k
