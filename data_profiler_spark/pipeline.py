@@ -230,10 +230,17 @@ class QualityFilterPipeline:
         )
         elapsed = round(time.time() - t0, 3)
         committed_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-        out = self._read_output()
-        if completed:
-            out = out.filter(~F.col("month").isin(completed))
-        per_month = out.groupBy("month").agg(*_metric_exprs()).orderBy("month").collect()
+        try:
+            out = self._read_output()
+        except Exception:
+            # an empty first run writes no data files — nothing to commit
+            out = None
+        if out is not None:
+            if completed:
+                out = out.filter(~F.col("month").isin(completed))
+            per_month = out.groupBy("month").agg(*_metric_exprs()).orderBy("month").collect()
+        else:
+            per_month = []
         for r in per_month:
             m = r["month"]
             entry = {

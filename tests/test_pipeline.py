@@ -126,3 +126,12 @@ def test_key_skew_report_and_salt_recommendation(pages):
     # host extraction sanity
     hosts = pages.select(host_expr(F.col("url")).alias("h")).limit(5).collect()
     assert all(r["h"] and "/" not in r["h"] for r in hosts)
+
+
+def test_run_on_empty_input(pages, tmp_path):
+    """An empty input must produce a completed run with zero batches, not
+    crash on the output read-back."""
+    empty = pages.filter(F.lit(False))
+    pipe = QualityFilterPipeline(pages.sparkSession, str(tmp_path / "empty"))
+    res = pipe.run(empty, run_id="e1")
+    assert res.batches == [] and res.total_rows == 0
