@@ -48,14 +48,15 @@ _SCALE_CORES = os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8")
 SCALE_LO, SCALE_HI = (int(x) for x in _SCALE_CORES.split(","))
 
 def _minhash_prod(spark, sf_dir):
-    """Production-config MinHash+LSH (pure banded candidates + exact-Jaccard
-    verify). The queries() entry adds an exact-candidate union so the DuckDB
-    correctness gate is deterministic — a fixture-scale shim, not the
+    """Production-config MinHash+LSH: xxhash64 numeric minhashes, pure
+    banded candidates + exact-Jaccard verify. The queries() entry uses md5
+    (oracle-expressible) plus an exact-candidate union so the DuckDB
+    correctness gate is deterministic — fixture-scale shims, not the
     at-scale path — so the bench times the production configuration."""
     from data_profiler_spark.operators import dedup
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.8)
+    return dedup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.8, hash_fn="xxhash64")
 
 
 BENCH_OVERRIDES = {"minhash_lsh_dedup": _minhash_prod}

@@ -43,6 +43,16 @@ def test_ngram_jaccard_df_cap_keeps_high_sim_pairs(docs):
     assert full == capped
 
 
+def test_minhash_xxhash64_production_config(docs):
+    """The xxhash64 numeric-minhash path (production config): verification
+    is exact so false positives are impossible; band recall on the fixture
+    must be high (hash-agnostic S-curve)."""
+    xx = _pairs(dedup.minhash_lsh_pairs(docs, threshold=0.8, hash_fn="xxhash64"))
+    exact = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.8, max_shingle_df=None))
+    assert xx <= exact  # no false positives, ever
+    assert len(xx) >= 0.9 * len(exact), f"recall {len(xx)}/{len(exact)}"
+
+
 def test_minhash_union_exact_is_deterministic(docs):
     """union_exact_candidates must yield exactly the brute-force threshold
     join regardless of LSH band luck (the oracle-checked configuration)."""
