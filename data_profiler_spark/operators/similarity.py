@@ -52,6 +52,19 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def dot_expr_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Dot product for a KNOWN dimensionality: an unrolled left-to-right
+    sum of ``element_at`` products. Bit-identical to ``dot_expr`` (same FP
+    summation order as the ``aggregate`` fold), but whole-stage-codegen
+    compiles it — Spark evaluates higher-order functions (``aggregate`` /
+    ``zip_with``) interpreted, one lambda frame per element per row, which
+    dominates any per-candidate verification hot path run n²-ish times."""
+    out = F.element_at(a, 1) * F.element_at(b, 1)
+    for i in range(2, dim + 1):
+        out = out + F.element_at(a, i) * F.element_at(b, i)
+    return out
+
+
 def _lit_vec(q: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in q])
 
@@ -247,11 +260,12 @@ def embedding_near_dup_pairs(
     ``||â-b̂|| <= sqrt(2-2t) =: w`` (unit sphere chord), and a 1-Lipschitz
     projection therefore moves by at most ``w`` — so a qualifying pair lands
     in the same or an adjacent cell of a width-``w`` grid in EVERY
-    projection. Each vector emits its 2^m grid-corner keys
-    ``(c_j + e_j, e in {0,1}^m)``; per-dimension adjacency guarantees a
-    shared key (pick ``e``/``f`` per axis), so candidate generation has
-    100% recall BY CONSTRUCTION at any threshold — no LSH recall gamble —
-    while the join cost is #colliding-cell pairs, never O(n²). Candidates
+    projection. The blocking join is asymmetric: the left side keys on its
+    own cell, the right side on all 3^m neighbor cells, so every
+    adjacent-cell pair collides exactly once per orientation — candidate
+    generation has 100% recall BY CONSTRUCTION at any threshold (no LSH
+    recall gamble) and needs no dedup, while the join cost is
+    #adjacent-cell pairs, never O(n²). Candidates
     are then verified with exact cosine (filter on the RAW value; rounding
     happens once, in the final select, so the result is identical to the
     brute-force reference at every threshold).
@@ -276,11 +290,24 @@ def embedding_near_dup_pairs(
     width = max((2.0 - 2.0 * threshold), 1e-12) ** 0.5
     dim = len(df.select(vec_col).first()[0])
     dirs = projection_directions(dim, n_projections, seed)
+    # Under-partitioned input (one small parquet file → few tasks) would
+    # serialize the blocking join and the per-candidate cosine verification
+    # (a broadcast join inherits the probe side's partitioning). Widening
+    # the thin (id, vector) rows is a negligible shuffle; large inputs
+    # don't pay it (no-op when the scan already has enough splits).
+    from .dedup import _widen
+
+    base = _widen(base)
     # Materialize the projections as their own attribute before deriving the
     # 2^m keys from them — inlining the m dot products into every key would
     # duplicate the expensive fold 2^m times in codegen (CLAUDE.md perf rule).
+    # The vector and its norm ride along so verification fuses into the
+    # blocking join itself — per-vector work (norms) happens here, n times,
+    # never per-candidate.
     proj = base.select(
         "_id",
+        "_v",
+        norm_expr(F.col("_v")).alias("_n"),
         F.array(
             *[
                 F.floor(cosine_expr(F.col("_v"), _lit_vec(u)) / F.lit(width)).cast("long")
@@ -288,7 +315,19 @@ def embedding_near_dup_pairs(
             ]
         ).alias("_c"),
     )
-    corners = F.array(
+    # Asymmetric emission makes the blocking join EXACTLY-ONCE with no
+    # dedup: the left side emits only its own cell key; the right side
+    # emits all 3^m neighbor-cell keys. A pair with per-axis cell distance
+    # |d_j| <= 1 (the lossless adjacency condition) collides exactly once
+    # per orientation — cell(a) appears exactly once in neighbors(b) — so
+    # `id1 < id2` leaves one row per unordered pair and the old
+    # `.distinct()` shuffle over the candidate stream (plus the 2^m-corner
+    # duplicate join rows feeding it) disappears entirely.
+    cell_key = F.concat_ws(
+        ",",
+        *[F.element_at(F.col("_c"), j + 1).cast("string") for j in range(n_projections)],
+    )
+    neighbor_keys = F.array(
         *[
             F.concat_ws(
                 ",",
@@ -297,21 +336,37 @@ def embedding_near_dup_pairs(
                     for j in range(n_projections)
                 ],
             )
-            for e in itertools.product((0, 1), repeat=n_projections)
+            for e in itertools.product((-1, 0, 1), repeat=n_projections)
         ]
+    )
+    a = proj.select(
+        F.col("_id").alias("id1"),
+        F.col("_v").alias("_v1"),
+        F.col("_n").alias("_n1"),
+        cell_key.alias("_k"),
     )
     # explode_outer: keeps the projection expression above the exchange
     # (same implicit-size()>0 pushdown trap as operators/dedup.py).
-    melted = proj.select("_id", F.explode_outer(corners).alias("_k"))
-    a = melted.select(F.col("_id").alias("id1"), "_k")
-    b = melted.select(F.col("_id").alias("id2"), "_k")
-    cand = a.join(b, "_k").filter(F.col("id1") < F.col("id2")).select("id1", "id2").distinct()
-    v1 = base.select(F.col("_id").alias("id1"), F.col("_v").alias("_v1"))
-    v2 = base.select(F.col("_id").alias("id2"), F.col("_v").alias("_v2"))
+    b = proj.select(
+        F.col("_id").alias("id2"),
+        F.col("_v").alias("_v2"),
+        F.col("_n").alias("_n2"),
+        F.explode_outer(neighbor_keys).alias("_k"),
+    )
+    # ONE join does blocking AND verification: the cosine filter fuses into
+    # the join condition, so the n²-ish candidate stream is generated,
+    # verified, and reduced to surviving pairs inside a single stage — it is
+    # never shuffled (the old cand→join(v1)→join(v2) shape re-shuffled the
+    # candidate stream twice at scale just to re-attach vectors). Shuffle
+    # volume is O(n·3^m·dim) input rows, independent of candidate count.
+    # The per-pair dot product is the unrolled codegen-able form; the
+    # division/order of operations matches cosine_expr exactly, so the
+    # result is bit-identical to the brute-force reference.
+    cos = dot_expr_fixed(F.col("_v1"), F.col("_v2"), dim) / (F.col("_n1") * F.col("_n2"))
     return (
-        cand.join(v1, "id1")
-        .join(v2, "id2")
-        .withColumn("_cos", cosine_expr(F.col("_v1"), F.col("_v2")))
+        a.join(b, "_k")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("_cos", cos)
         .filter(F.col("_cos") >= threshold)
         .select("id1", "id2", F.round("_cos", round_to).alias("cosine"))
     )
