@@ -250,8 +250,12 @@ def csv_row_errors(
     * any other count mismatch → ``E_JAGGED_ROW``, catastrophic.
 
     Quote-aware field counting without a parser: quoted sections
-    (``"..."`` with ``""`` escapes) are deleted before splitting, so a
-    properly-quoted embedded delimiter does not inflate the count. Returns
+    (``"..."`` with ``""`` escapes) are replaced by a ``\\x01`` sentinel
+    before splitting, so a properly-quoted embedded delimiter does not
+    inflate the count while the field still counts as NON-empty — a
+    fully-quoted trailing extra field (``a|b|c|"x"`` against a 3-column
+    header) classifies ``E_UNQUOTED_DELIM`` like the reference, instead of
+    being trimmed away as a trailing empty. Returns
     ``(code, line_number, column)`` rows (1-based data-row numbers,
     header excluded) ready for ``operators.errors.error_rollup``.
 
@@ -276,7 +280,10 @@ def csv_row_errors(
     )
     line = F.col("value")
     if quoted:
-        line = F.regexp_replace(line, '"([^"]|"")*"', "")
+        # non-empty sentinel, not deletion: the trailing-trim logic below
+        # must see quoted fields as occupied (reference ingest.py:868-878
+        # trims only genuinely-empty trailing fields)
+        line = F.regexp_replace(line, '"([^"]|"")*"', "")
     fields = F.split(line, _re.escape(delimiter), -1)
     n = F.size(fields)
     nonempty_pos = F.filter(

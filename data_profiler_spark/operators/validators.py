@@ -178,11 +178,20 @@ def detect_date_format(agg_row: dict, col: str, prefer_format: str | None = None
     confidence = matched share (``profile.py:826-887``). Driver-side pure
     function (testable).
 
-    Reference parity (profile.py:851-886):
+    Reference semantics (profile.py:851-886), with one DELIBERATE
+    divergence:
 
     * DD/MM/YYYY is credited only when NO value parsed as MM/DD/YYYY —
       a column of day>12 slash dates flips to the DD/MM interpretation
-      instead of under-counting as invalid MM/DD.
+      instead of under-counting as invalid MM/DD. The reference applies
+      this check PER VALUE during its sequential scan (DD/MM values seen
+      before the first MM/DD-parseable value still count), so on columns
+      mixing day>12 and day<=12 slash dates its format_counts depend on
+      row order. A distributed engine has no row order; this vote applies
+      the rule COLUMN-level (order-independent — any MM/DD match zeroes
+      the DD/MM count), which is deterministic under partitioning and
+      agrees with the reference whenever the column is purely one
+      interpretation (the common case and every fixture).
     * ``has_ambiguity`` is true when any slash-date interpretation matched
       (every MM/DD value is lexically also a DD/MM candidate) or when more
       than one format matched.

@@ -35,13 +35,22 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Observation
+
 from . import rules
 from .functions.langid import langid_udf, log_perplexity_udf
 from .functions.pii import pii_counts_expr, scrub_expr
 from .functions.textstats import heuristic_drop_reasons_expr, with_signals
 from .io import catalog
+from .io.audit import AuditLog, fingerprint_digest, input_fingerprint_exprs
 
 SALT_BUCKETS = 256
+
+# month partition value for rows with a null warc_ts — a plain NULL would
+# make the resume predicate `~month.isin(completed)` evaluate to NULL
+# (row silently dropped on every resume) and land in Hive's default
+# partition; an explicit sentinel keeps such rows first-class.
+NULL_MONTH = "unknown"
 
 
 def url_salt(n_buckets: int = SALT_BUCKETS):
@@ -151,6 +160,30 @@ class QualityFilterPipeline:
             json.dump(m, f, indent=2, default=str)
         os.replace(tmp, self._manifest_path())
 
+    # -- per-stage progress (reference workspace.py:206-237 / runs.py:604-727:
+    # queued → processing → completed WITH stage transitions + a progress
+    # percentage; a long run is observable from the manifest alone) --
+    _STAGES = ("validate", "score_write", "metrics")
+
+    def _stage_start(self, manifest: dict, stage: str) -> None:
+        now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        manifest.setdefault("stages", []).append(
+            {"stage": stage, "state": "running", "started_at": now, "finished_at": None}
+        )
+        manifest["state"] = "processing"
+        manifest["progress"] = round(self._STAGES.index(stage) / len(self._STAGES), 3)
+        self._save_manifest(manifest)
+
+    def _stage_finish(self, manifest: dict, stage: str) -> None:
+        now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        for entry in reversed(manifest.get("stages", [])):
+            if entry["stage"] == stage and entry["state"] == "running":
+                entry["state"] = "completed"
+                entry["finished_at"] = now
+                break
+        manifest["progress"] = round((self._STAGES.index(stage) + 1) / len(self._STAGES), 3)
+        self._save_manifest(manifest)
+
     def validate(self, pages: DataFrame, max_invalid_utf8: int = 0) -> dict:
         """Cheap validate-first gate (SURVEY.md §7.3.6): aggregate UTF-8
         verdicts over the html payloads BEFORE the expensive scoring stage.
@@ -197,26 +230,62 @@ class QualityFilterPipeline:
         per batch.
 
         Per-month manifest metrics come from a column-pruned read-back of
-        the freshly WRITTEN months (output-sized, ~5 stat columns), not a
-        rescan of the input; run totals are the sum of the per-month
-        entries. ``validate_first`` runs the catastrophic UTF-8 gate before
-        any scoring work.
+        EXACTLY the months this run wrote (known from an ``observe()`` on
+        the write pass — zero extra input scans; stale partitions left by
+        earlier runs are never swept into this run's commits), not a rescan
+        of the input; run totals are the sum of the per-month entries.
+        ``validate_first`` runs the catastrophic UTF-8 gate before any
+        scoring work.
+
+        Crash safety: the months are committed to the manifest (state
+        ``written``) IMMEDIATELY after the write job succeeds — a crash
+        during the (cheap) metrics read-back resumes by backfilling metrics
+        for those months instead of re-scoring them. Every stage transition
+        (validate → score_write → metrics) is persisted with timestamps and
+        a progress fraction, and mirrored to the append-only
+        ``audit.jsonl`` (PII-free events + input content fingerprint —
+        reference ``audit.py:67-135``).
         """
-        if validate_first:
-            self.validate(pages, max_invalid_utf8)
+        audit = AuditLog(self.output_path)
         manifest = self._load_manifest()
         if manifest.get("run_id") != run_id:
-            manifest = {"run_id": run_id, "state": "processing", "completed_batches": {}}
+            manifest = {"run_id": run_id, "state": "queued", "completed_batches": {}}
+            audit.event("run_created", run_id)
+        else:
+            audit.event("run_resumed", run_id, completed=sorted(manifest["completed_batches"]))
+        if validate_first:
+            self._stage_start(manifest, "validate")
+            report = self.validate(pages, max_invalid_utf8)
+            audit.event(
+                "validate",
+                run_id,
+                total=report["total"],
+                invalid_count=report["invalid_count"],
+                verdict="pass",
+            )
+            self._stage_finish(manifest, "validate")
         result = RunResult(run_id=run_id, output_path=self.output_path)
-        completed = sorted(manifest["completed_batches"])
-        result.resumed_batches = list(completed)
-        month = F.date_format("warc_ts", "yyyy-MM")
-        batch = pages.filter(~month.isin(completed)) if completed else pages
+        entries = manifest["completed_batches"]
+        done = sorted(m for m in entries if entries[m].get("state", "completed") == "completed")
+        written_only = sorted(m for m in entries if entries[m].get("state") == "written")
+        skip = done + written_only
+        result.resumed_batches = list(done)
+        month = F.coalesce(F.date_format("warc_ts", "yyyy-MM"), F.lit(NULL_MONTH))
+        batch = pages.filter(~month.isin(skip)) if skip else pages
         t0 = time.time()
+        self._stage_start(manifest, "score_write")
+        # the observation rides the write scan: months actually written this
+        # run + the input content fingerprint, at zero extra passes
+        obs = Observation()  # auto-named: unique per run() invocation
         scored = (
             score_pages(batch, self.keep_langs)
             .withColumn("month", month)
             .withColumn("salt", url_salt(self.salt_buckets))
+            .observe(
+                obs,
+                F.collect_set("month").alias("months"),
+                *input_fingerprint_exprs(["url", "warc_ts", "text"]),
+            )
         )
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # repartition on (month, salt): skew defusal AND at most one file
@@ -231,26 +300,53 @@ class QualityFilterPipeline:
         elapsed = round(time.time() - t0, 3)
         committed_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         try:
-            out = self._read_output()
+            obs_row = obs.get
         except Exception:
-            # an empty first run writes no data files — nothing to commit
-            out = None
-        if out is not None:
-            if completed:
-                out = out.filter(~F.col("month").isin(completed))
-            per_month = out.groupBy("month").agg(*_metric_exprs()).orderBy("month").collect()
+            # Zero-row batch: AQE's empty-relation propagation replaces the
+            # shuffle subtree (the repartition below the write) with an
+            # empty LocalRelation, so CollectMetrics never runs and the
+            # observation row comes back schemaless (toPyRow asserts).
+            # Only an empty result takes this path — any written row
+            # produces real metrics — so empty aggregates are the truth.
+            obs_row = {}
+        months_written = sorted(obs_row.get("months") or [])
+        fingerprint = fingerprint_digest(obs_row)
+        audit.event("input_fingerprint", run_id, **fingerprint)
+        # commit the written months BEFORE the metrics pass: a crash from
+        # here on resumes by backfilling metrics, never re-scoring
+        for m in months_written:
+            entries[m] = {"month": m, "state": "written", "committed_at": committed_at}
+        audit.event("write_committed", run_id, months=months_written, elapsed_sec=elapsed)
+        self._stage_finish(manifest, "score_write")
+        self._stage_start(manifest, "metrics")
+        pending = sorted(set(months_written) | set(written_only))
+        if pending:
+            per_month = (
+                self._read_output()
+                .filter(F.col("month").isin(pending))
+                .groupBy("month")
+                .agg(*_metric_exprs())
+                .orderBy("month")
+                .collect()
+            )
         else:
             per_month = []
         for r in per_month:
             m = r["month"]
             entry = {
                 "month": m,
+                "state": "completed",
                 "metrics": {k: v for k, v in r.asDict().items() if k != "month"},
                 "elapsed_sec": elapsed,  # one job writes all months
                 "committed_at": committed_at,
             }
-            manifest["completed_batches"][m] = entry
+            entries[m] = entry
             result.batches.append(entry)
+            audit.event(
+                "month_committed", run_id, month=m, rows=entry["metrics"].get("rows", 0)
+            )
+        self._stage_finish(manifest, "metrics")
         manifest["state"] = "completed"
         self._save_manifest(manifest)
+        audit.event("run_completed", run_id, months=len(result.batches))
         return result

@@ -105,6 +105,9 @@ def test_csv_row_errors_reference_carveouts(spark, tmp_path):
         "1|2|3|4|5\n"      # two extra → JAGGED            (row 5)
         '1|"x|y"|3\n'      # quoted delimiter → clean      (row 6)
         "1|2|3||\n"        # two trailing empties → clean  (row 7)
+        '1|2|3|"x"\n'      # QUOTED non-empty trailing extra → UNQUOTED_DELIM,
+                           # not trimmed as empty (reference ingest.py:868-878;
+                           # ADVICE round-2 regression)          (row 8)
     )
     rows = {
         (r["code"], r["line_number"])
@@ -114,6 +117,7 @@ def test_csv_row_errors_reference_carveouts(spark, tmp_path):
         ("E_UNQUOTED_DELIM", 3),
         ("E_JAGGED_ROW", 4),
         ("E_JAGGED_ROW", 5),
+        ("E_UNQUOTED_DELIM", 8),
     }
     # without quoting, one extra column is plain jagged (reference branch)
     rows_nq = {
@@ -124,7 +128,7 @@ def test_csv_row_errors_reference_carveouts(spark, tmp_path):
     # through the rollup: UNQUOTED_DELIM is non-catastrophic, JAGGED is
     rolled = {
         r["code"]: r["catastrophic"]
-        for r in E.error_rollup(intake.csv_row_errors(spark, str(p), "|", quoted=True), 7).collect()
+        for r in E.error_rollup(intake.csv_row_errors(spark, str(p), "|", quoted=True), 8).collect()
     }
     assert rolled == {"E_UNQUOTED_DELIM": False, "E_JAGGED_ROW": True}
 
