@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import itertools
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -243,6 +244,142 @@ def projection_directions(dim: int, m: int, seed: int = 7) -> list[list[float]]:
     return out
 
 
+def principal_directions(
+    df: DataFrame, vec_col: str = "embedding", m: int = 2, dim: int | None = None
+) -> list[list[float]] | None:
+    """Top-``m`` principal directions of the L2-NORMALIZED vectors — the
+    variance-maximizing unit directions for grid blocking.
+
+    Why not random directions: the projection of high-dimensional
+    near-unit-norm vectors onto a FIXED random unit direction concentrates
+    with spread ~1/sqrt(d) (0.125 at d=64, 0.036 at d=768) — far inside
+    the lossless cell width ``w = sqrt(2-2t)`` (0.45 at t=0.9), so nearly
+    every vector lands in the same 1-3 cells per axis and blocking
+    degrades toward all-pairs. Principal directions spread the projections
+    to the data's ACTUAL extent along its top-variance axes while ``w``
+    stays fixed by the losslessness argument (any unit direction is
+    1-Lipschitz), recovering pruning without giving up exactness.
+
+    One extra pass over the data: per-Arrow-batch partial second moments
+    (count, sum vector, Gram matrix — numpy matmul inside ``mapInPandas``,
+    d² floats per BATCH, not per row) summed on the driver, then a d×d
+    symmetric eigendecomposition (driver-side numpy — d ≤ a few thousand,
+    trivially small next to any fixture). Deterministic for a given input
+    (partial sums reduce over a deterministic partition order; signs are
+    canonicalized). Returns None on an empty input.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    n_dim = dim
+    if n_dim is None:
+        first = df.select(vec_col).first()
+        if first is None or first[0] is None:
+            return None
+        n_dim = len(first[0])
+    schema = T.StructType(
+        [
+            T.StructField("cnt", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("g", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partials(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            vecs = _np.stack(pdf.iloc[:, 0].to_numpy()).astype(_np.float64)
+            norms = _np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            vecs = vecs / norms
+            yield _pd.DataFrame(
+                {
+                    "cnt": [len(vecs)],
+                    "s": [vecs.sum(axis=0).tolist()],
+                    "g": [(vecs.T @ vecs).ravel().tolist()],
+                }
+            )
+
+    rows = df.select(vec_col).mapInPandas(partials, schema).collect()
+    if not rows:
+        return None
+    n = sum(r["cnt"] for r in rows)
+    if n == 0:
+        return None
+    s = np.zeros(n_dim)
+    g = np.zeros((n_dim, n_dim))
+    for r in rows:
+        s += np.asarray(r["s"])
+        g += np.asarray(r["g"]).reshape(n_dim, n_dim)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)  # ascending eigenvalues
+    out = []
+    for j in range(1, min(m, n_dim) + 1):
+        v = vecs[:, -j]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v  # canonical sign: dominant component positive
+        out.append([float(x) for x in v])
+    return out
+
+
+def _resolve_grid(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str,
+    n_projections: int,
+    seed: int,
+    dim: int | None,
+    directions: list[list[float]] | None,
+    direction_mode: str,
+) -> tuple[float, int, list[list[float]]] | None:
+    """(cell width, dim, unit directions) for the projection grid, or None
+    when the input is empty. ``dim`` given by the caller skips the extra
+    ``first()`` driver job; explicit ``directions`` skip direction fitting."""
+    width = max((2.0 - 2.0 * threshold), 1e-12) ** 0.5
+    if dim is None:
+        first = df.select(vec_col).first()
+        if first is None or first[0] is None:
+            return None
+        dim = len(first[0])
+    if directions is not None:
+        dirs = directions[:n_projections]
+    elif direction_mode == "pca":
+        dirs = principal_directions(df, vec_col, n_projections, dim)
+        if dirs is None:
+            return None
+    else:
+        dirs = projection_directions(dim, n_projections, seed)
+    return width, dim, dirs
+
+
+def _cell_key(n_projections: int) -> Column:
+    """String key of the own grid cell from the ``_c`` coordinate array."""
+    return F.concat_ws(
+        ",",
+        *[F.element_at(F.col("_c"), j + 1).cast("string") for j in range(n_projections)],
+    )
+
+
+def _neighbor_keys(n_projections: int) -> Column:
+    """All 3^m neighbor-cell keys (own cell included) from ``_c``."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    (F.element_at(F.col("_c"), j + 1) + F.lit(e[j])).cast("string")
+                    for j in range(n_projections)
+                ],
+            )
+            for e in itertools.product((-1, 0, 1), repeat=n_projections)
+        ]
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.45,
@@ -252,6 +389,11 @@ def embedding_near_dup_pairs(
     seed: int = 7,
     round_to: int = 6,
     method: str = "grid",
+    dim: int | None = None,
+    directions: list[list[float]] | None = None,
+    direction_mode: str = "pca",
+    planes_per_band: int = 8,
+    bands: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via LOSSLESS projection-grid blocking.
 
@@ -270,11 +412,39 @@ def embedding_near_dup_pairs(
     happens once, in the final select, so the result is identical to the
     brute-force reference at every threshold).
 
-    Pruning power scales with the threshold: at near-dup thresholds
-    (t >= 0.9, w <= 0.45) cells are narrow and the self-join touches only
-    genuinely close vectors; at low thresholds the grid degrades gracefully
-    toward all-pairs — which is the true output size anyway. ``method=
-    'exact'`` keeps the O(n²) crossJoin as a debug baseline.
+    Directions default to PRINCIPAL directions of the normalized vectors
+    (``direction_mode='pca'``, one extra moment-gathering pass — see
+    :func:`principal_directions` for why random directions silently lose
+    all pruning at realistic embedding dims). ``direction_mode='random'``
+    keeps the seeded random directions (no extra pass); ``directions=``
+    supplies precomputed ones (fit once, reuse across runs — the at-scale
+    deployment shape). The RESULT is identical under any unit directions
+    (lossless blocking); only the join cost changes. Check the blocking
+    factor BEFORE paying the join with :func:`grid_occupancy_report` (same
+    grid, same directions — the analog of ``dedup.shingle_df_report``).
+
+    Pass ``dim=`` when known (skips a ``first()`` driver job); an empty
+    input returns an empty pairs DataFrame either way. Pruning power also
+    scales with the threshold: at near-dup thresholds (t >= 0.9, w <= 0.45)
+    cells are narrow; at low thresholds the grid degrades gracefully toward
+    all-pairs — which is the true output size anyway. ``method='exact'``
+    keeps the O(n²) crossJoin as a debug baseline.
+
+    **Grid limits and the high-dim default** — the lossless cell width is
+    FORCED to ``w = sqrt(2-2t)`` while real high-dim embedding data can
+    concentrate every 1-d projection tighter than ``w`` (isotropic spectra:
+    per-axis spread ~sqrt(λ_j) ≈ 0.17 on the 64-dim fixture vs w = 0.45 at
+    t = 0.9 — measured, BASELINE.md). When :func:`grid_occupancy_report`
+    shows ``blocking_factor`` near 1 under EVERY direction choice, no
+    lossless grid helps; use ``method='lsh'`` — banded sign-hyperplane LSH
+    candidates (a pair collides when any band's ``planes_per_band`` sign
+    bits all agree) with the SAME fused exact-cosine verification, so
+    false positives are impossible and the only approximation is candidate
+    recall: Pr[detect] = 1-(1-(1-θ/π)^p)^b — 0.996 at t = 0.9 and ~0.004
+    per random orthogonal pair with the defaults (p=8, b=16), i.e.
+    ~250× candidate pruning on isotropic data. Recall is measured against
+    the exact join in tests (planted near-dups), the reference recall
+    contract of the MinHash path applied to embeddings.
     """
     base = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
     if method == "exact":
@@ -287,9 +457,74 @@ def embedding_near_dup_pairs(
             .filter(F.col("_cos") >= threshold)
             .select("id1", "id2", F.round("_cos", round_to).alias("cosine"))
         )
-    width = max((2.0 - 2.0 * threshold), 1e-12) ** 0.5
-    dim = len(df.select(vec_col).first()[0])
-    dirs = projection_directions(dim, n_projections, seed)
+    id_type = df.schema[id_col].dataType.simpleString()
+    empty_schema = f"id1 {id_type}, id2 {id_type}, cosine double"
+    if method == "lsh":
+        if dim is None:
+            first = df.select(vec_col).first()
+            if first is None or first[0] is None:
+                return df.sparkSession.createDataFrame([], empty_schema)
+            dim = len(first[0])
+        from .dedup import _widen
+
+        base = _widen(base)
+        # p·b sign projections per vector as ONE Arrow-batched numpy matmul
+        # (n×d @ d×(p·b) per batch): expressing 128 unrolled codegen dots
+        # per row blows the expression tree into the tens of thousands of
+        # nodes (minutes of Janino compile — measured); the brief's ANN
+        # guidance explicitly takes the vectorized-pandas-UDF path for
+        # exactly this shape. Band keys are PACKED LONGS — (band << p) | bits —
+        # so the join key is numeric, never a string build.
+        import numpy as _np
+
+        planes_mat = _np.array(
+            random_hyperplanes(dim, planes_per_band * bands, seed), dtype=_np.float64
+        ).T  # d × (p·b)
+        pw = _np.left_shift(1, _np.arange(planes_per_band, dtype=_np.int64))
+        n_bands, ppb = bands, planes_per_band
+
+        @F.pandas_udf("array<long>")
+        def _band_keys(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype=object)
+            x = _np.stack(vs.to_numpy()).astype(_np.float64)
+            bits = (x @ planes_mat >= 0).astype(_np.int64)  # n × (p·b)
+            packed = bits.reshape(len(x), n_bands, ppb) @ pw  # n × b
+            keys = packed | (_np.arange(n_bands, dtype=_np.int64) << ppb)
+            return pd.Series(list(keys))
+
+        keyed = base.select(
+            "_id", "_v", norm_expr(F.col("_v")).alias("_n"), _band_keys("_v").alias("_keys")
+        )
+        a = keyed.select(
+            F.col("_id").alias("id1"),
+            F.col("_v").alias("_v1"),
+            F.col("_n").alias("_n1"),
+            F.explode_outer("_keys").alias("_k"),
+        )
+        b = keyed.select(
+            F.col("_id").alias("id2"),
+            F.col("_v").alias("_v2"),
+            F.col("_n").alias("_n2"),
+            F.explode_outer("_keys").alias("_k"),
+        )
+        cos = dot_expr_fixed(F.col("_v1"), F.col("_v2"), dim) / (F.col("_n1") * F.col("_n2"))
+        # verification fused into the band join (same shape as the grid
+        # path); a pair colliding in k bands is verified k times and
+        # deduped AFTER the threshold filter, so the distinct shuffles only
+        # the (tiny) surviving output, never the candidate stream
+        return (
+            a.join(b, "_k")
+            .filter(F.col("id1") < F.col("id2"))
+            .withColumn("_cos", cos)
+            .filter(F.col("_cos") >= threshold)
+            .select("id1", "id2", F.round("_cos", round_to).alias("cosine"))
+            .distinct()
+        )
+    grid = _resolve_grid(df, threshold, vec_col, n_projections, seed, dim, directions, direction_mode)
+    if grid is None:
+        return df.sparkSession.createDataFrame([], empty_schema)
+    width, dim, dirs = grid
     # Under-partitioned input (one small parquet file → few tasks) would
     # serialize the blocking join and the per-candidate cosine verification
     # (a broadcast join inherits the probe side's partitioning). Widening
@@ -323,22 +558,8 @@ def embedding_near_dup_pairs(
     # `id1 < id2` leaves one row per unordered pair and the old
     # `.distinct()` shuffle over the candidate stream (plus the 2^m-corner
     # duplicate join rows feeding it) disappears entirely.
-    cell_key = F.concat_ws(
-        ",",
-        *[F.element_at(F.col("_c"), j + 1).cast("string") for j in range(n_projections)],
-    )
-    neighbor_keys = F.array(
-        *[
-            F.concat_ws(
-                ",",
-                *[
-                    (F.element_at(F.col("_c"), j + 1) + F.lit(e[j])).cast("string")
-                    for j in range(n_projections)
-                ],
-            )
-            for e in itertools.product((-1, 0, 1), repeat=n_projections)
-        ]
-    )
+    cell_key = _cell_key(n_projections)
+    neighbor_keys = _neighbor_keys(n_projections)
     a = proj.select(
         F.col("_id").alias("id1"),
         F.col("_v").alias("_v1"),
@@ -369,4 +590,84 @@ def embedding_near_dup_pairs(
         .withColumn("_cos", cos)
         .filter(F.col("_cos") >= threshold)
         .select("id1", "id2", F.round("_cos", round_to).alias("cosine"))
+    )
+
+
+def grid_occupancy_report(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    n_projections: int = 2,
+    seed: int = 7,
+    dim: int | None = None,
+    directions: list[list[float]] | None = None,
+    direction_mode: str = "pca",
+) -> DataFrame:
+    """Blocking-factor report for :func:`embedding_near_dup_pairs`' grid —
+    the analog of ``dedup.shingle_df_report``: SEE the join cost before
+    paying it, so silent all-pairs degradation (concentrated projections,
+    too-low threshold) is visible from one cheap aggregate.
+
+    One row: ``n_vectors``, ``n_cells``, ``max_occupancy``,
+    ``avg_occupancy``, ``candidate_pairs`` (exactly the number of verified
+    pairs the blocking join will generate — per-cell counts self-joined on
+    the 3^m neighbor keys, cost |cells|·3^m, never touching vectors),
+    ``total_pairs`` (n·(n-1)/2) and ``blocking_factor`` =
+    candidate_pairs / total_pairs (1.0 = degraded to all-pairs). Uses the
+    same directions/width resolution as the pairs function, so the numbers
+    are exact for the run they predict."""
+    grid = _resolve_grid(df, threshold, vec_col, n_projections, seed, dim, directions, direction_mode)
+    spark = df.sparkSession
+    if grid is None:
+        return spark.range(1).select(
+            F.lit(0).alias("n_vectors"),
+            F.lit(0).alias("n_cells"),
+            F.lit(0).alias("max_occupancy"),
+            F.lit(0.0).alias("avg_occupancy"),
+            F.lit(0).alias("candidate_pairs"),
+            F.lit(0).alias("total_pairs"),
+            F.lit(0.0).alias("blocking_factor"),
+        )
+    width, dim, dirs = grid
+    v = _as_double(F.col(vec_col))
+    cells = (
+        df.select(
+            F.array(
+                *[
+                    F.floor(cosine_expr(v, _lit_vec(u)) / F.lit(width)).cast("long")
+                    for u in dirs
+                ]
+            ).alias("_c")
+        )
+        .groupBy("_c")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    occ = cells.agg(
+        F.sum("_cnt").alias("n_vectors"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("_cnt").alias("max_occupancy"),
+        F.round(F.avg("_cnt"), 3).alias("avg_occupancy"),
+    )
+    # ordered collision count T = Σ_a Σ_{b∈N27(a)} c_a·c_b (self included);
+    # the asymmetric join emits each unordered pair once → (T - n) / 2
+    ka = cells.select(_cell_key(n_projections).alias("_k"), F.col("_cnt").alias("_ca"))
+    kb = cells.select(
+        F.explode_outer(_neighbor_keys(n_projections)).alias("_k"), F.col("_cnt").alias("_cb")
+    )
+    t = ka.join(kb, "_k").agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_t"))
+    return (
+        occ.crossJoin(t)
+        .select(
+            "n_vectors",
+            "n_cells",
+            "max_occupancy",
+            "avg_occupancy",
+            ((F.col("_t") - F.col("n_vectors")) / 2).cast("long").alias("candidate_pairs"),
+            (F.col("n_vectors") * (F.col("n_vectors") - 1) / 2).cast("long").alias("total_pairs"),
+            F.round(
+                (F.col("_t") - F.col("n_vectors"))
+                / F.greatest(F.col("n_vectors") * (F.col("n_vectors") - 1), F.lit(1)),
+                6,
+            ).alias("blocking_factor"),
+        )
     )
