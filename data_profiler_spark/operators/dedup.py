@@ -396,37 +396,88 @@ def hamming_expr(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
     return out
 
 
+SIMHASH_PAIR_BITS = 64
+SIMHASH_PAIR_BANDS = 8
+
+
+def simhash64_from_tokens(toks: Column, bits: int = SIMHASH_PAIR_BITS) -> Column:
+    """Packed simhash as ONE long: bit *i* = majority vote over tokens of
+    bit *i* of ``xxhash64(token)`` — 64 independent vote bits from a single
+    JVM-native hash per token (no md5, no strings). Pass a materialized
+    token-array attribute; the per-bit vote filters each reference the
+    hash-array alias, so the token hashing runs once per document."""
+    assert bits <= 64
+    n = F.size(toks)
+    hs = F.transform(toks, lambda t: F.xxhash64(t))
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        vote = F.size(
+            F.filter(hs, lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1)
+        )
+        sig = sig.bitwiseOR(
+            F.when(vote * 2 > n, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = SIMHASH_BITS,
-    bands: int = 4,
+    bits: int = SIMHASH_PAIR_BITS,
+    bands: int = SIMHASH_PAIR_BANDS,
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with simhash Hamming distance <= max_hamming.
 
-    Banded join: ``bands`` equal slices of the bit string; a pair within
+    Banded join: ``bands`` equal slices of the signature; a pair within
     ``max_hamming <= bands - 1`` differing bits must agree on >= 1 whole
     slice (pigeonhole) — candidate generation is LOSSLESS, so the result
     equals the brute-force O(n^2) scan at join cost.
-    """
+
+    The default is the SCALE configuration: 64-bit packed-long signatures
+    (:func:`simhash64_from_tokens`), 8 bands of 8 bits — each band key
+    ranges over 2^8 values so a corpus of n docs self-joins ~n²/(2·2^8)
+    per band WHEN signatures are uniform, vs the 16-bit/4-band legacy
+    config whose 4-bit band keys (16 values) put ~n/16 of the corpus in
+    every bucket (~n²/64 joined rows at ANY corpus size — the
+    fixture-tuned default round 2 flagged). Band keys and the Hamming
+    verdict are pure long arithmetic (``shiftright``/``bit_count``), no
+    strings. ``hash_fn='md5'`` keeps the legacy string-signature path
+    (ANSI-expressible, used by the oracle fixture at ``bits=16``)."""
     assert max_hamming <= bands - 1, "banded join only lossless for max_hamming <= bands-1"
     width = bits // bands
-    sh = (
+    toks = (
         _widen(df)
         .select(
             F.col(id_col).alias("_id"),
             F.array_distinct(tokens_expr(F.col(text_col))).alias("_toks"),
         )
-        .select("_id", simhash_from_tokens(F.col("_toks"), bits).alias("_sim"))
     )
-    band_cols = F.array(
-        *[
-            F.concat(F.lit(f"{b}:"), F.substring("_sim", b * width + 1, width))
-            for b in range(bands)
-        ]
-    )
+    if hash_fn == "xxhash64":
+        sh = toks.select("_id", simhash64_from_tokens(F.col("_toks"), bits).alias("_sim"))
+        mask = F.lit((1 << width) - 1)
+        band_cols = F.array(
+            *[
+                F.shiftright(F.col("_sim"), b * width)
+                .bitwiseAND(mask)
+                .bitwiseOR(F.lit((b + 1) << width))
+                for b in range(bands)
+            ]
+        )
+        hamming = F.bit_count(F.col("_s1").bitwiseXOR(F.col("_s2")))
+    else:
+        sh = toks.select("_id", simhash_from_tokens(F.col("_toks"), bits).alias("_sim"))
+        band_cols = F.array(
+            *[
+                F.concat(F.lit(f"{b}:"), F.substring("_sim", b * width + 1, width))
+                for b in range(bands)
+            ]
+        )
+        hamming = hamming_expr(F.col("_s1"), F.col("_s2"), bits)
     # explode_outer: see minhash_lsh_pairs — avoids the implicit size()>0
     # pushdown filter that would serialize simhash computation at the scan.
     melted = sh.select("_id", "_sim", F.explode_outer(band_cols).alias("key"))
@@ -435,7 +486,7 @@ def simhash_pairs(
     return (
         a.join(b, "key")
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", hamming_expr(F.col("_s1"), F.col("_s2"), bits).alias("hamming"))
+        .select("id1", "id2", hamming.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
@@ -452,15 +503,24 @@ def near_dup_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     (:func:`minhash_lsh_pairs` etc.) and "keep one representative per
     cluster" that an at-scale dedup pipeline actually executes.
 
-    Min-label propagation: each iteration pushes the smallest known label
-    across edges (one join + one groupBy-min, both shuffling on ids) and
-    stops when no label changes. Iteration count = component diameter —
-    near-dup clusters are small and dense (duplicates of a page link to
-    each other), so this converges in a handful of rounds; a graph with
-    adversarially long chains would want the large-star/small-star
-    contraction instead. ``localCheckpoint`` cuts lineage each round so
-    the plan doesn't grow with iterations.
+    Min-label propagation WITH pointer jumping: each iteration (a) pushes
+    the smallest known label across edges (join + groupBy-min) and then
+    (b) shortcuts through the label graph — ``label ← label[label]`` —
+    which doubles the propagation distance per round, so convergence is
+    O(log diameter) instead of O(diameter): a 1000-edge chain closes in
+    ~10 rounds (tested), dense near-dup clusters in 2-3. One driver
+    ``count()`` per round detects convergence (inherent to any fixed-point
+    loop); ``localCheckpoint`` cuts lineage each round so the plan doesn't
+    grow with iterations. The shortcut join keys on the label VALUE — a
+    giant component concentrates one key; AQE skew-join splitting (on in
+    session.py) absorbs it.
     """
+    labels, _ = _components_with_rounds(pairs, max_iter)
+    return labels
+
+
+def _components_with_rounds(pairs: DataFrame, max_iter: int = 50) -> tuple[DataFrame, int]:
+    """(components, rounds-to-converge) — see :func:`near_dup_components`."""
     edges = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
     edges = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -471,16 +531,27 @@ def near_dup_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         .select("v", F.col("v").alias("label"))
         .localCheckpoint(eager=True)
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neigh = (
             edges.join(labels.withColumnRenamed("v", "a"), "a")
             .groupBy("b")
             .agg(F.min("label").alias("nl"))
             .withColumnRenamed("b", "v")
         )
-        updated = labels.join(neigh, "v", "left").select(
+        cand = labels.join(neigh, "v", "left").select(
             "v",
-            F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("new_label"),
+            F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("cl"),
+            F.col("label"),
+        )
+        # pointer jumping: cl ← min(cl, label[cl]) — label values are
+        # vertex ids, so one self-join resolves the current label OF the
+        # candidate label, halving the remaining chain every round
+        lk = labels.select(F.col("v").alias("cl"), F.col("label").alias("cll"))
+        updated = cand.join(lk, "cl", "left").select(
+            "v",
+            F.least(F.col("cl"), F.coalesce(F.col("cll"), F.col("cl"))).alias("new_label"),
             F.col("label"),
         )
         changed = updated.filter(F.col("new_label") < F.col("label")).count()
@@ -489,7 +560,10 @@ def near_dup_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         )
         if changed == 0:
             break
-    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("group_id"))
+    return (
+        labels.select(F.col("v").alias("doc_id"), F.col("label").alias("group_id")),
+        rounds,
+    )
 
 
 def dedup_keep_ids(ids: DataFrame, components: DataFrame, id_col: str = "doc_id") -> DataFrame:
