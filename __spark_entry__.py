@@ -469,6 +469,49 @@ def q_ivf_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shingle_df_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dropped-shingle-mass report for the web-scale document-frequency
+    cap (a tight cap=5 at fixture scale so every counter is non-zero):
+    certifies exactly how much posting mass a capped ngram_jaccard run
+    excludes from candidate generation."""
+    from data_profiler_spark.operators import dedup
+
+    df = _t(spark, sf_dir, "documents")
+    return dedup.shingle_df_report(df, max_shingle_df=5)
+
+
+def q_near_dup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup keep list: exact Jaccard pairs → connected
+    components (pointer-jumping min-label) → drop non-representative
+    members. The oracle recomputes the closure recursively in DuckDB."""
+    from data_profiler_spark.operators import dedup
+
+    df = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.8, max_shingle_df=None)
+    comps = dedup.near_dup_components(pairs)
+    return dedup.dedup_keep_ids(df.select("doc_id"), comps).orderBy("doc_id")
+
+
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised IVF codebook: seeded deterministic spherical k-means
+    (k=4, 3 Lloyd iterations, md5 hash-order init, per-iteration 6-dp
+    centroid rounding) and the resulting cell×label confusion counts.
+    The DuckDB oracle replays the IDENTICAL unrolled iterations — the
+    learned codebook itself is oracle-checked, not just the assignment."""
+    from data_profiler_spark.operators import similarity
+
+    df = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(df, k=4, iters=3, seed=42)
+    assigned = similarity.centroid_assign(df, cents).select("vec_id", "cell")
+    return (
+        df.select("vec_id", "label")
+        .join(assigned, "vec_id")
+        .groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("cell", "label")
+    )
+
+
 def q_lang_guess_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID heuristic: (true lang, guess) counts."""
     from data_profiler_spark.functions import textanalysis as ta
@@ -694,9 +737,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "ngram_jaccard_dup": q_ngram_jaccard_dup,
         "near_dup_components": q_near_dup_components,
+        "near_dup_keep": q_near_dup_keep,
+        "shingle_df_report": q_shingle_df_report,
         "simhash_signatures": q_simhash_signatures,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_centroid_confusion": q_ivf_centroid_confusion,
+        "kmeans_cells": q_kmeans_cells,
         "lang_guess_confusion": q_lang_guess_confusion,
         "bpe_token_stats": q_bpe_token_stats,
         "quality_score_by_source": q_quality_score_by_source,
@@ -1080,6 +1126,48 @@ def _candidate_keys_sql() -> str:
     """
 
 
+def _kmeans_cells_sql(k: int = 4, iters: int = 3, seed: int = 42) -> str:
+    """Unrolled seeded-k-means oracle: identical init (md5 hash order),
+    identical per-iteration 6-dp centroid rounding, identical (sim, cell)
+    argmax tie-break — the fixed number of Lloyd iterations makes the
+    whole training loop a finite CTE chain DuckDB can replay exactly."""
+    h = f"md5('s{seed}:' || CAST(vec_id AS VARCHAR))"
+    ctes = [
+        "dims AS (SELECT d::INT AS d FROM range(1, 65) t(d))",
+        "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (
+              SELECT (row_number() OVER (ORDER BY {h}, vec_id)) - 1 AS cell, v
+              FROM e ORDER BY {h}, vec_id LIMIT {k})""",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""a{i} AS (
+              SELECT e.vec_id,
+                     (max(struct_pack(s := list_cosine_similarity(e.v, c.v), c := c.cell))).c AS cell
+              FROM e, {prev} c GROUP BY e.vec_id)"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+              SELECT cell, list(m ORDER BY d) AS v FROM (
+                SELECT a.cell AS cell, dims.d AS d, round(avg(e.v[dims.d]), 6) AS m
+                FROM a{i} a JOIN e USING (vec_id), dims GROUP BY a.cell, dims.d)
+              GROUP BY cell)"""
+        )
+        prev = f"c{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT f.cell AS cell, e.label AS label, count(*) AS cnt
+        FROM (SELECT e.vec_id,
+                     (max(struct_pack(s := list_cosine_similarity(e.v, c.v), c := c.cell))).c AS cell
+              FROM e, {prev} c GROUP BY e.vec_id) f
+        JOIN e USING (vec_id)
+        GROUP BY f.cell, e.label ORDER BY cell, label"""
+    )
+
+
 def _near_dup_components_sql(threshold: float) -> str:
     """Recursive transitive closure over the exact Jaccard pair graph;
     component label = min reachable id (incl. self via round trips)."""
@@ -1101,11 +1189,37 @@ def _near_dup_components_sql(threshold: float) -> str:
     """
 
 
+def _near_dup_keep_sql(threshold: float) -> str:
+    """Keep list = every doc id minus non-representative component
+    members (component label = min reachable id, recursive closure)."""
+    comp = _near_dup_components_sql(threshold).strip()
+    head, final = comp.rsplit("SELECT a AS doc_id", 1)
+    return f"""
+    {head.rstrip()},
+    comp AS (SELECT a AS doc_id{final})
+    SELECT d.doc_id AS doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> group_id)
+    ORDER BY doc_id
+    """
+
+
 _ORACLE.update(
     {
         "minhash_lsh_dedup": _jaccard_pairs_sql(0.8),
         "near_dup_components": _near_dup_components_sql(0.8),
+        "near_dup_keep": _near_dup_keep_sql(0.8),
         "ngram_jaccard_dup": _jaccard_pairs_sql(0.5),
+        "shingle_df_report": f"""
+            {_SH_CTE.rstrip()},
+            inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+            freq AS (SELECT shingle, count(*) AS df FROM inv GROUP BY shingle)
+            SELECT count(*) AS total_shingles,
+                   sum(CASE WHEN df > 5 THEN 1 ELSE 0 END)::BIGINT AS dropped_shingles,
+                   sum(CASE WHEN df > 5 THEN df ELSE 0 END)::BIGINT AS dropped_posting_mass,
+                   sum(df)::BIGINT AS total_posting_mass,
+                   max(df)::BIGINT AS max_df
+            FROM freq
+        """,
         "simhash_signatures": f"""
             WITH s AS (
               SELECT doc_id, {_SIMHASH_BITS_SQL} AS sim
@@ -1123,6 +1237,7 @@ _ORACLE.update(
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
             ORDER BY id1, id2
         """,
+        "kmeans_cells": _kmeans_cells_sql(k=4, iters=3, seed=42),
         "ivf_centroid_confusion": """
             WITH dims AS (SELECT d::INT AS d FROM range(1, 65) t(d)),
             cent AS (

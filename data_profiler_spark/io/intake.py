@@ -157,17 +157,35 @@ def sniff_delimiter(lines: list[str]) -> tuple[str, float]:
 
 
 def sniff_quoting(lines: list[str], delimiter: str) -> tuple[bool, float]:
-    """Quote-density heuristic (reference ``ingest.py:551-665``): quoted if
-    a meaningful share of lines start a field with a double quote."""
+    """Quoting-evidence vote (reference ``QuotingDetector``,
+    ``ingest.py:551-665``): three independent signals over the sample —
+
+    * quote-initiated fields (a line starts with ``"`` or contains
+      ``<delim>"``) — the base density;
+    * ``""`` escape sequences — only meaningful under RFC-4180 quoting,
+      so each escaping line adds half a vote;
+    * delimiters INSIDE quoted sections — quoting that actually protects
+      embedded delimiters is the strongest functional evidence, half a
+      vote per line.
+
+    Confidence is the capped sum; >= 0.2 sniffs quoted. The extra signals
+    fix the round-2 gap where escape-heavy files could mis-sniff on
+    density alone."""
     if not lines:
         return False, 0.0
-    quoted = sum(
-        1
-        for line in lines
-        if line.startswith('"') or f'{delimiter}"' in line
+    import re as _re
+
+    qre = _re.compile(r'"(?:[^"]|"")*"')
+    n = len(lines)
+    quoted_field = sum(
+        1 for line in lines if line.startswith('"') or f'{delimiter}"' in line
     )
-    conf = quoted / len(lines)
-    return conf >= 0.2, conf
+    escapes = sum(1 for line in lines if '""' in line)
+    embedded = sum(
+        1 for line in lines if any(delimiter in m for m in qre.findall(line))
+    )
+    conf = min(1.0, quoted_field / n + 0.5 * escapes / n + 0.5 * embedded / n)
+    return conf >= 0.2, round(conf, 4)
 
 
 def sniff_csv(

@@ -53,9 +53,33 @@ def _widen(df: DataFrame) -> DataFrame:
     under-partitioned (e.g. one small parquet file → one partition, which
     would serialize the whole shingle/minhash computation onto one task).
     No-op when the scan already has enough splits — large inputs never pay
-    an extra shuffle here."""
+    an extra shuffle here.
+
+    The split estimate prefers driver-side file metadata
+    (``inputFiles()`` + local file sizes / 128 MB split budget) over
+    ``df.rdd.getNumPartitions()`` — the RDD conversion builds the whole
+    physical plan per call and pins it pre-AQE (round-2 nit); the metadata
+    path is a pure catalog lookup. Non-local / non-file plans fall back to
+    the RDD check unchanged."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    splits: int | None = None
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files and all(f.startswith("file:") for f in files):
+        import os
+        from urllib.parse import unquote, urlparse
+
+        try:
+            split_budget = 128 * 1024 * 1024  # default spark.sql.files.maxPartitionBytes
+            sizes = [os.path.getsize(unquote(urlparse(f).path)) for f in files]
+            splits = sum(max(1, -(-s // split_budget)) for s in sizes)
+        except OSError:
+            splits = None
+    if splits is None:
+        splits = df.rdd.getNumPartitions()
+    if splits < target:
         return df.repartition(target)
     return df
 

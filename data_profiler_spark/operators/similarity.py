@@ -234,6 +234,75 @@ def ivf_topk(
     return brute_force_topk(pruned, query_vec, k, id_col, vec_col)
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_to: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Unsupervised IVF codebook: seeded spherical Lloyd k-means, fully
+    deterministic and ANSI-reproducible (the DuckDB oracle runs the
+    identical unrolled iterations — ``__spark_entry__.kmeans_cells``).
+
+    A real 100-TB corpus has no labels, so the codebook that
+    :func:`centroid_assign` / :func:`ivf_topk` consume must come from the
+    data itself. Design choices, each shared with the oracle:
+
+    * **Init**: the ``k`` rows with smallest ``md5(seed || vec_id)``
+      (hash-order sampling — deterministic, engine-agnostic, no RNG
+      state), centroid ``cell`` ids in that hash order.
+    * **Assign**: max-cosine against the current centroids — a pure
+      narrow map over literal centroids (k×d floats broadcast in the
+      plan), ties broken toward the higher cell id in both engines.
+    * **Re-centroid**: dimension-wise mean via posexplode → groupBy(cell,
+      dim) → avg (shuffle cardinality k×d, tiny), ROUNDED to ``round_to``
+      decimals each iteration — the rounding pins the fixed point so two
+      engines summing in different orders stay bit-identical.
+    * **Fixed ``iters``** (not convergence-tested): deterministic cost and
+      a finitely-unrollable oracle. Cells that lose all members drop out.
+
+    Each iteration is one scan of ``df`` (cache it) + a k×d collect;
+    the codebook returns driver-side, matching ``centroid_assign``'s
+    literal-centroid contract."""
+    base = df.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    seeds = (
+        base.select(
+            "_id",
+            "_v",
+            F.md5(F.concat(F.lit(f"s{seed}:"), F.col("_id").cast("string"))).alias("_h"),
+        )
+        .orderBy("_h", "_id")
+        .limit(k)
+        .collect()
+    )
+    centroids = [(i, [float(x) for x in r["_v"]]) for i, r in enumerate(seeds)]
+    for _ in range(iters):
+        assigned = centroid_assign(base, centroids, id_col="_id", vec_col="_v").select(
+            "_id", "cell"
+        )
+        per_dim = (
+            base.join(assigned, "_id")
+            .select("cell", F.posexplode("_v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+        )
+        rows = (
+            per_dim.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("p"))
+            .select(
+                "cell", F.transform("p", lambda q: F.round(q["m"], round_to)).alias("c")
+            )
+            .collect()
+        )
+        centroids = sorted((int(r["cell"]), [float(x) for x in r["c"]]) for r in rows)
+    return centroids
+
+
 def projection_directions(dim: int, m: int, seed: int = 7) -> list[list[float]]:
     """``m`` deterministic unit-norm projection directions (normalized
     :func:`random_hyperplanes` rows) for grid blocking."""
