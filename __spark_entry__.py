@@ -492,6 +492,22 @@ def q_near_dup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_keep_ids(df.select("doc_id"), comps).orderBy("doc_id")
 
 
+def q_grid_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection-grid blocking-factor report at t=0.9 with the SEEDED
+    random directions (pure-function directions → the oracle embeds the
+    identical literals): proves the report's candidate-pair prediction
+    against an independent SQL recount — and documents, in an
+    oracle-checked number, that the isotropic fixture defeats any lossless
+    grid at near-dup thresholds (blocking_factor ≈ 1 — the reason
+    method='lsh' exists)."""
+    from data_profiler_spark.operators import similarity
+
+    df = _t(spark, sf_dir, "embeddings")
+    return similarity.grid_occupancy_report(
+        df, threshold=0.9, n_projections=2, direction_mode="random", seed=7, dim=64
+    )
+
+
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unsupervised IVF codebook: seeded deterministic spherical k-means
     (k=4, 3 Lloyd iterations, md5 hash-order init, per-iteration 6-dp
@@ -741,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_df_report": q_shingle_df_report,
         "simhash_signatures": q_simhash_signatures,
         "embedding_near_dup": q_embedding_near_dup,
+        "grid_occupancy": q_grid_occupancy,
         "ivf_centroid_confusion": q_ivf_centroid_confusion,
         "kmeans_cells": q_kmeans_cells,
         "lang_guess_confusion": q_lang_guess_confusion,
@@ -1189,6 +1206,38 @@ def _near_dup_components_sql(threshold: float) -> str:
     """
 
 
+def _grid_occupancy_sql(threshold: float = 0.9, m: int = 2, seed: int = 7) -> str:
+    """Independent SQL recount of the projection grid: the seeded random
+    directions are a pure function (no data), so the oracle embeds the
+    identical unit-vector literals and rebuilds cells → 3^m neighbor
+    collision count from scratch."""
+    from data_profiler_spark.operators.similarity import projection_directions
+
+    w = max(2.0 - 2.0 * threshold, 1e-12) ** 0.5
+    dirs = projection_directions(64, m, seed)
+    cell_cols = ", ".join(
+        f"floor(list_cosine_similarity(v, [{', '.join(repr(x) for x in d)}]) / {w!r})::BIGINT AS c{j}"
+        for j, d in enumerate(dirs)
+    )
+    group = ", ".join(f"c{j}" for j in range(m))
+    adj = " AND ".join(f"abs(a.c{j} - b.c{j}) <= 1" for j in range(m))
+    return f"""
+    WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    cc AS (SELECT {cell_cols} FROM e),
+    cells AS (SELECT {group}, count(*) AS cnt FROM cc GROUP BY {group}),
+    t AS (SELECT sum(a.cnt * b.cnt) AS t FROM cells a JOIN cells b ON {adj}),
+    occ AS (SELECT sum(cnt)::BIGINT AS n_vectors, count(*)::BIGINT AS n_cells,
+                   max(cnt)::BIGINT AS max_occupancy, round(avg(cnt), 3) AS avg_occupancy
+            FROM cells)
+    SELECT n_vectors, n_cells, max_occupancy, avg_occupancy,
+           ((t - n_vectors) / 2)::BIGINT AS candidate_pairs,
+           (n_vectors * (n_vectors - 1) / 2)::BIGINT AS total_pairs,
+           round((t - n_vectors)::DOUBLE / greatest(n_vectors * (n_vectors - 1), 1), 6)
+             AS blocking_factor
+    FROM occ, t
+    """
+
+
 def _near_dup_keep_sql(threshold: float) -> str:
     """Keep list = every doc id minus non-representative component
     members (component label = min reachable id, recursive closure)."""
@@ -1237,6 +1286,7 @@ _ORACLE.update(
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
             ORDER BY id1, id2
         """,
+        "grid_occupancy": _grid_occupancy_sql(threshold=0.9, m=2, seed=7),
         "kmeans_cells": _kmeans_cells_sql(k=4, iters=3, seed=42),
         "ivf_centroid_confusion": """
             WITH dims AS (SELECT d::INT AS d FROM range(1, 65) t(d)),
