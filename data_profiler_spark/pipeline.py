@@ -129,18 +129,39 @@ class QualityFilterPipeline:
         spark: SparkSession,
         output_path: str,
         keep_langs: tuple[str, ...] = rules.KEEP_LANGS,
-        salt_buckets: int = SALT_BUCKETS,
+        salt_buckets: int | str = SALT_BUCKETS,
         table: str | None = None,
     ):
         """``output_path`` holds the run manifest (+ parquet data in the
         filesystem fallback). Pass ``table`` (e.g. ``lake.db.pages_filtered``)
         to commit batches to an Iceberg catalog table instead — each batch
-        then lands as one ``overwritePartitions`` snapshot (io/catalog.py)."""
+        then lands as one ``overwritePartitions`` snapshot (io/catalog.py).
+
+        ``salt_buckets='auto'`` measures the host-key skew of each run's
+        batch (one column-pruned groupBy pass, ``operators.skew``) and
+        sizes the salt from the measured ``skew_ratio`` instead of the
+        static default — the chosen value is recorded in the audit log."""
         self.spark = spark
         self.output_path = output_path
         self.keep_langs = keep_langs
         self.salt_buckets = salt_buckets
         self.table = table
+
+    def _resolve_salt(self, batch: DataFrame, audit: AuditLog, run_id: str) -> int:
+        if self.salt_buckets != "auto":
+            return int(self.salt_buckets)
+        from .operators.skew import host_expr, key_skew_report, recommend_salt_buckets
+
+        rep = key_skew_report(batch, host_expr(F.col("url"))).collect()[0].asDict()
+        n = recommend_salt_buckets(rep)
+        audit.event(
+            "salt_chosen",
+            run_id,
+            buckets=n,
+            skew_ratio=rep.get("skew_ratio"),
+            n_keys=rep.get("n_keys"),
+        )
+        return n
 
     # -- manifest (run workspace, reference workspace.py:71-357 analog) --
     def _manifest_path(self) -> str:
@@ -280,7 +301,7 @@ class QualityFilterPipeline:
         scored = (
             score_pages(batch, self.keep_langs)
             .withColumn("month", month)
-            .withColumn("salt", url_salt(self.salt_buckets))
+            .withColumn("salt", url_salt(self._resolve_salt(batch, audit, run_id)))
             .observe(
                 obs,
                 F.collect_set("month").alias("months"),

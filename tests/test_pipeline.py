@@ -192,6 +192,22 @@ def test_null_month_rows_survive_resume(pages, tmp_path):
     assert spark.read.parquet(os.path.join(out, "data")).count() == n
 
 
+def test_auto_salt_sizing_from_measured_skew(pages, tmp_path):
+    """salt_buckets='auto': the salt comes from the batch's measured
+    host-key skew (Zipf synth hosts → >1 power-of-two buckets), and the
+    choice is recorded in the audit log."""
+    from data_profiler_spark.io.audit import AuditLog
+
+    out = str(tmp_path / "autosalt")
+    sub = pages.filter(F.col("warc_ts") < F.lit("2023-02-01")).cache()
+    pipe = QualityFilterPipeline(pages.sparkSession, out, salt_buckets="auto")
+    res = pipe.run(sub, run_id="as1")
+    assert res.batches
+    ev = next(e for e in AuditLog(out).events() if e["event"] == "salt_chosen")
+    n = ev["buckets"]
+    assert n >= 1 and (n & (n - 1)) == 0 and ev["skew_ratio"] > 1.0
+
+
 def test_key_skew_report_and_salt_recommendation(pages):
     """Skew measurement on the synthetic Zipf host distribution: hot hosts
     show up in skew_ratio, and the recommendation flattens them to a
