@@ -441,7 +441,12 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_spark.operators import similarity
 
     df = _t(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_near_dup_pairs(df, threshold=0.45, round_to=4)
+    # verify_salt=8: at t=0.45 the grid has a handful of giant cells, so
+    # the salted verification join restores task-level parallelism (same
+    # exact result — the oracle checks the salted path end-to-end)
+    pairs = similarity.embedding_near_dup_pairs(
+        df, threshold=0.45, round_to=4, verify_salt=8
+    )
     return pairs.orderBy("id1", "id2")
 
 

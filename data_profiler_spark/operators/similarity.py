@@ -425,28 +425,30 @@ def _resolve_grid(
     return width, dim, dirs
 
 
-def _cell_key(n_projections: int) -> Column:
-    """String key of the own grid cell from the ``_c`` coordinate array."""
-    return F.concat_ws(
-        ",",
-        *[F.element_at(F.col("_c"), j + 1).cast("string") for j in range(n_projections)],
-    )
+def _cell_key(n_projections: int, salt_col: Column | None = None) -> Column:
+    """String key of the own grid cell from the ``_c`` coordinate array;
+    ``salt_col`` appends a salt component (see ``verify_salt``)."""
+    parts = [F.element_at(F.col("_c"), j + 1).cast("string") for j in range(n_projections)]
+    if salt_col is not None:
+        parts.append(salt_col.cast("string"))
+    return F.concat_ws(",", *parts)
 
 
-def _neighbor_keys(n_projections: int) -> Column:
-    """All 3^m neighbor-cell keys (own cell included) from ``_c``."""
-    return F.array(
-        *[
-            F.concat_ws(
-                ",",
-                *[
-                    (F.element_at(F.col("_c"), j + 1) + F.lit(e[j])).cast("string")
-                    for j in range(n_projections)
-                ],
-            )
-            for e in itertools.product((-1, 0, 1), repeat=n_projections)
+def _neighbor_keys(n_projections: int, salts: int = 1) -> Column:
+    """All 3^m neighbor-cell keys (own cell included) from ``_c``; with
+    ``salts`` > 1 each neighbor key is replicated once per salt value (the
+    right side of a salted hot-cell join)."""
+    keys = []
+    for e in itertools.product((-1, 0, 1), repeat=n_projections):
+        parts = [
+            (F.element_at(F.col("_c"), j + 1) + F.lit(e[j])).cast("string")
+            for j in range(n_projections)
         ]
-    )
+        if salts > 1:
+            keys.extend(F.concat_ws(",", *parts, F.lit(str(s))) for s in range(salts))
+        else:
+            keys.append(F.concat_ws(",", *parts))
+    return F.array(*keys)
 
 
 def embedding_near_dup_pairs(
@@ -463,6 +465,7 @@ def embedding_near_dup_pairs(
     direction_mode: str = "pca",
     planes_per_band: int = 8,
     bands: int = 16,
+    verify_salt: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via LOSSLESS projection-grid blocking.
 
@@ -627,8 +630,21 @@ def embedding_near_dup_pairs(
     # `id1 < id2` leaves one row per unordered pair and the old
     # `.distinct()` shuffle over the candidate stream (plus the 2^m-corner
     # duplicate join rows feeding it) disappears entirely.
-    cell_key = _cell_key(n_projections)
-    neighbor_keys = _neighbor_keys(n_projections)
+    # verify_salt > 1 splits each HOT CELL's verification work across S
+    # join keys: the left side appends pmod(xxhash64(id), S) to its cell
+    # key, the right side replicates each neighbor key once per salt value.
+    # Exactly-once is preserved (the right's copy with s == left's salt is
+    # the unique collision), the result is identical, and a low-threshold /
+    # coarse-grid run where a handful of giant cells would otherwise pin
+    # the whole verification onto a handful of tasks fans back out to
+    # S × #cells tasks — at the price of S× the right side's shuffle
+    # volume, so size S from grid_occupancy_report (few giant cells → S up
+    # to the per-task budget; fine grids don't need it).
+    salt_col = (
+        F.pmod(F.xxhash64(F.col("_id")), F.lit(verify_salt)) if verify_salt > 1 else None
+    )
+    cell_key = _cell_key(n_projections, salt_col)
+    neighbor_keys = _neighbor_keys(n_projections, verify_salt)
     a = proj.select(
         F.col("_id").alias("id1"),
         F.col("_v").alias("_v1"),

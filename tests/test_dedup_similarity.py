@@ -304,10 +304,12 @@ def test_embedding_near_dup_grid_is_lossless(emb):
     """The projection-grid default must return EXACTLY the brute-force
     result (recall is 100% by construction, not probabilistic), at more
     than one threshold, and with no CrossJoin in the plan."""
-    for t in (0.45, 0.8):
+    for t, salt in ((0.45, 1), (0.8, 4)):
         grid = {
             (r["id1"], r["id2"], r["cosine"])
-            for r in similarity.embedding_near_dup_pairs(emb, threshold=t).collect()
+            for r in similarity.embedding_near_dup_pairs(
+                emb, threshold=t, verify_salt=salt
+            ).collect()
         }
         exact = {
             (r["id1"], r["id2"], r["cosine"])
