@@ -732,6 +732,70 @@ def q_events_in_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-corpus line dedup (operators/corpus.py::line_dedup):
+    every line occurring >1 time corpus-wide survives only at its first
+    (doc_id, pos) occurrence. documents.text is single-line by
+    construction, so multi-line text is derived deterministically in BOTH
+    engines (literal ' a ' -> newline) before deduping."""
+    from data_profiler_spark.operators import corpus
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.replace(F.col("text"), F.lit(" a "), F.lit("\n")).alias("text")
+    )
+    out = corpus.line_dedup(df, max_occurrences=1, min_chars=5)
+    return out.select("doc_id", "clean_text", "lines_kept", "lines_dropped")
+
+
+def q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination screen (corpus.contamination_report):
+    docs with doc_id % 97 == 0 play the eval suite; every remaining doc
+    reports its positional 3-gram overlap with that set (n=3 is the
+    discriminative order for the fixture's small vocabulary; production
+    uses n=13 with identical plan shape). The eval n-gram set is
+    broadcast — the corpus side never shuffles its n-grams."""
+    from data_profiler_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    evl = docs.filter(F.pmod("doc_id", F.lit(97)) == 0)
+    corp = docs.filter(F.pmod("doc_id", F.lit(97)) != 0)
+    rep = corpus.contamination_report(corp, evl, n=3)
+    return rep.select(
+        "doc_id",
+        "total_ngrams",
+        "hits",
+        "contamination_frac",
+        F.col("contaminated").cast("long").alias("contaminated"),
+    )
+
+
+def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL host + registered-domain extraction and blocklist filtering
+    (corpus.url_filter): URLs derived deterministically from doc_id in
+    both engines (www-prefix, multi-label .co.uk suffixes, ports-free) so
+    the whole regex + eTLD+1 label-slice + isin chain is cross-checked."""
+    from data_profiler_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.pmod("doc_id", F.lit(3)) == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.lit("site"),
+            F.pmod("doc_id", F.lit(17)).cast("string"),
+            F.when(F.pmod("doc_id", F.lit(4)) == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    ann = corpus.url_filter(urls, ["site3.com", "site7.co.uk"])
+    return ann.groupBy("registered_domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("url_blocked").cast("long")).alias("n_blocked"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_nchars": q_profile_nchars,
@@ -777,6 +841,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_keys_customer": q_candidate_keys_customer,
         "events_asof_orders": q_events_asof_orders,
         "events_in_order_window": q_events_in_order_window,
+        "line_dedup_docs": q_line_dedup_docs,
+        "contamination_screen": q_contamination_screen,
+        "url_domain_stats": q_url_domain_stats,
     }
 
 
@@ -1414,6 +1481,87 @@ _ORACLE.update(
                    max(o.t) AS last_asof_ts
             FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND o.t <= e.t
             GROUP BY e.user_id
+        """,
+        "line_dedup_docs": """
+            WITH base AS (
+              SELECT doc_id, replace(text, ' a ', chr(10)) AS text FROM documents
+            ), l AS (
+              SELECT doc_id,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+                     unnest(string_split(text, chr(10))) AS line
+              FROM base
+            ), k AS (
+              SELECT doc_id, pos, line,
+                     CASE WHEN len(line) < 5 THEN TRUE
+                          WHEN count(*) OVER (PARTITION BY line) <= 1 THEN TRUE
+                          WHEN row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1 THEN TRUE
+                          ELSE FALSE END AS keep
+              FROM l
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS clean_text,
+                   count(*) FILTER (WHERE keep) AS lines_kept,
+                   count(*) FILTER (WHERE NOT keep) AS lines_dropped
+            FROM k GROUP BY doc_id ORDER BY doc_id
+        """,
+        "contamination_screen": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t
+              FROM documents
+            ), ng AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3
+                          THEN list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))
+                          ELSE CAST([] AS VARCHAR[]) END AS gs
+              FROM toks
+            ), ev AS (
+              SELECT DISTINCT unnest(gs) AS g FROM ng WHERE doc_id % 97 = 0
+            ), cg AS (
+              SELECT doc_id, unnest(gs) AS g FROM ng WHERE doc_id % 97 <> 0
+            ), hits AS (
+              SELECT cg.doc_id, count(*) AS hits FROM cg JOIN ev ON cg.g = ev.g GROUP BY cg.doc_id
+            )
+            SELECT b.doc_id,
+                   len(b.gs)::BIGINT AS total_ngrams,
+                   coalesce(h.hits, 0)::BIGINT AS hits,
+                   round(CASE WHEN len(b.gs) > 0
+                              THEN coalesce(h.hits, 0)::DOUBLE / len(b.gs)
+                              ELSE 0.0 END, 6) AS contamination_frac,
+                   (coalesce(h.hits, 0) > 0)::BIGINT AS contaminated
+            FROM ng b LEFT JOIN hits h USING (doc_id)
+            WHERE b.doc_id % 97 <> 0
+            ORDER BY b.doc_id
+        """,
+        "url_domain_stats": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+                     || 'site' || (doc_id % 17)
+                     || CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END
+                     || '/p/' || doc_id AS url
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host
+              FROM u
+            ), lab AS (
+              SELECT doc_id, string_split(host, '.') AS L FROM h
+            ), d AS (
+              SELECT doc_id,
+                     CASE WHEN len(L) >= 3
+                               AND array_to_string(L[len(L)-1:len(L)], '.')
+                                   IN ('co.uk','com.au','co.jp','com.br','co.in')
+                          THEN array_to_string(L[len(L)-2:len(L)], '.')
+                          ELSE array_to_string(L[greatest(len(L)-1, 1):len(L)], '.') END AS registered_domain
+              FROM lab
+            )
+            SELECT registered_domain,
+                   count(*) AS n_docs,
+                   sum(CASE WHEN registered_domain IN ('site3.com','site7.co.uk')
+                            THEN 1 ELSE 0 END)::BIGINT AS n_blocked
+            FROM d GROUP BY registered_domain ORDER BY registered_domain
         """,
     }
 )

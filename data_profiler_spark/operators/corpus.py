@@ -1,0 +1,296 @@
+"""Corpus-level cleaning operators for web-text training pipelines.
+
+Three families the reference's per-file profiler has no analog for, but a
+100 TB pretraining pipeline runs on every crawl (task-brief extensions,
+same tier as ``operators/dedup.py``):
+
+* **Cross-corpus line dedup** (C4-style): any line occurring more than
+  ``max_occurrences`` times across the ENTIRE corpus is dropped from
+  every document except its first occurrence. This is the classic
+  boilerplate-killer (nav bars, cookie banners, footers repeat across a
+  domain); it is inherently a corpus-wide operator — a per-document rule
+  cannot see the repetition.
+* **Benchmark-contamination screening**: flag documents sharing any word
+  n-gram with a (small, broadcastable) evaluation set — the standard
+  decontamination step before pretraining.
+* **URL host / registered-domain extraction + blocklist filtering**: the
+  first filter every web pipeline applies, before any text is read.
+
+Scale notes (100 TB shapes):
+
+* ``line_dedup`` is explode → hash-keyed count agg → hash join → per-doc
+  regroup: three shuffles, all on bounded keys. The count agg is
+  partial-aggregation (map-side combine) so hot boilerplate lines do NOT
+  skew it; the join back IS probe-side-skewed on those same hot lines,
+  which AQE's skew-join splitting handles (each probe row's work is
+  O(1)). Lines shorter than ``min_chars`` are exempt from counting —
+  they are structural ("", "-", headers) and would otherwise be the
+  hottest keys in the corpus for no cleaning benefit.
+* ``contamination_report`` broadcasts the eval n-gram set (eval suites
+  are ~1e6 n-grams — megabytes); the corpus side is one explode + one
+  broadcast probe + one per-doc count agg. No all-to-all shuffle at any
+  size.
+* URL expressions are pure JVM regex/array ops — whole-stage codegen,
+  no UDFs, usable as pushed-down filters at the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.dedup import tokens_expr
+
+# ---------------------------------------------------------------------------
+# C4-style cross-corpus line dedup
+# ---------------------------------------------------------------------------
+
+DEFAULT_LINE_MIN_CHARS = 5
+
+
+def _lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, line) — one row per line, 0-based position. ``split``
+    with its default limit keeps trailing empty lines, matching DuckDB's
+    ``string_split`` so the oracle sees identical line sets. Null texts
+    produce a single null line (posexplode_outer) so those docs survive
+    the round trip."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+
+
+def line_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = DEFAULT_LINE_MIN_CHARS,
+) -> DataFrame:
+    """Corpus-wide occurrence count per (countable) line.
+
+    Returns ``(line_hash, line, n_occurrences, first_id, first_pos)``
+    where *first* is the lexicographically smallest ``(id, pos)``
+    occurrence — the one ``line_dedup`` keeps. Grouping key is
+    ``md5(line)`` (oracle-checkable hash per CLAUDE.md); the agg is
+    map-side combinable so corpus-hot boilerplate lines stay skew-safe.
+    """
+    lines = _lines(df, id_col, text_col)
+    countable = lines.filter(F.length("line") >= min_chars)
+    return countable.groupBy(F.md5(F.col("line")).alias("line_hash")).agg(
+        F.min("line").alias("line"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min(F.struct(F.col(id_col).alias("id"), F.col("pos").alias("p"))).alias("_first"),
+    ).select(
+        "line_hash",
+        "line",
+        "n_occurrences",
+        F.col("_first.id").alias("first_id"),
+        F.col("_first.p").alias("first_pos"),
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_occurrences: int = 1,
+    min_chars: int = DEFAULT_LINE_MIN_CHARS,
+) -> DataFrame:
+    """Drop corpus-duplicated lines from every document (C4 §2.2 rule,
+    re-expressed corpus-wide): a line with more than ``max_occurrences``
+    occurrences across the corpus is kept ONLY at its first occurrence
+    (smallest ``(id, pos)``) and removed everywhere else. Lines shorter
+    than ``min_chars`` are always kept (structural, and exempting them
+    keeps the hottest degenerate keys out of the count agg).
+
+    Returns one row per input document:
+    ``(id, clean_text, lines_kept, lines_dropped)`` — ``clean_text`` is
+    the surviving lines re-joined with ``\\n`` in original order (null
+    text stays null).
+
+    Plan shape: explode → count agg (partial-agg, skew-safe) → hash join
+    back (AQE-splittable) → per-doc regroup. Line text crosses the wire
+    once per stage; the join is keyed on ``md5(line)`` so the build side
+    carries no text payload beyond the first-occurrence key.
+    """
+    lines = _lines(df, id_col, text_col)
+    counts = line_counts(df, id_col, text_col, min_chars=min_chars).select(
+        "line_hash", "n_occurrences", "first_id", "first_pos"
+    )
+    joined = lines.join(
+        counts, F.md5(F.col("line")) == counts["line_hash"], "left"
+    )
+    keep = (
+        F.col("line").isNull()  # null-text doc marker row
+        | (F.length("line") < min_chars)
+        | (F.col("n_occurrences") <= max_occurrences)
+        | ((F.col("first_id") == F.col(id_col)) & (F.col("first_pos") == F.col("pos")))
+    )
+    marked = joined.select(
+        F.col(id_col),
+        "pos",
+        "line",
+        keep.alias("keep"),
+    )
+    return marked.groupBy(id_col).agg(
+        F.when(
+            F.count("line") > 0,
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct(F.col("pos").alias("p"), F.col("line").alias("l")))
+                        )
+                    ),
+                    lambda x: x["l"],
+                ),
+            ),
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("keep") & F.col("line").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("lines_kept"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("lines_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination screening
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams_expr(c: Column, n: int) -> Column:
+    """POSITIONAL word n-grams (not distinct — unlike
+    ``dedup.shingles_expr`` — so ``total_ngrams`` is the true positional
+    denominator for a contamination fraction). Docs with fewer than ``n``
+    tokens yield an empty array (no fallback shingle: a 3-word doc cannot
+    contain a 13-gram)."""
+    toks = tokens_expr(c)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def eval_ngram_set(eval_df: DataFrame, text_col: str = "text", n: int = 13) -> DataFrame:
+    """Distinct word n-grams of the evaluation set, as a one-column DF
+    (``ngram``). Small by construction (eval suites are thousands of
+    docs) — callers broadcast it."""
+    return (
+        eval_df.select(F.explode(word_ngrams_expr(F.col(text_col), n)).alias("ngram"))
+        .distinct()
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Per-document overlap with an evaluation set: the standard
+    pre-training decontamination screen (flag-and-drop docs that leak
+    benchmark text).
+
+    Returns ``(id, total_ngrams, hits, contamination_frac,
+    contaminated)`` for EVERY corpus doc (zero-hit docs included —
+    posexplode_outer keeps them). ``hits`` counts positional n-gram
+    occurrences that appear anywhere in the eval set.
+
+    Plan shape: eval n-grams → distinct → **broadcast**; corpus →
+    explode → broadcast left probe → per-doc count agg. One shuffle
+    (the final per-doc agg, map-side combinable); the corpus never
+    shuffles its n-grams.
+    """
+    evl = F.broadcast(eval_ngram_set(eval_df, text_col=text_col, n=n))
+    exploded = corpus.select(
+        F.col(id_col),
+        F.posexplode_outer(word_ngrams_expr(F.col(text_col), n)).alias("_i", "ngram"),
+    )
+    probed = exploded.join(evl.withColumn("_hit", F.lit(1)), "ngram", "left")
+    return probed.groupBy(id_col).agg(
+        F.count("ngram").cast("long").alias("total_ngrams"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("hits"),
+    ).select(
+        F.col(id_col),
+        "total_ngrams",
+        "hits",
+        F.round(
+            F.when(F.col("total_ngrams") > 0, F.col("hits") / F.col("total_ngrams")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("contamination_frac"),
+        (F.col("hits") > 0).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL host / registered domain / blocklist filter
+# ---------------------------------------------------------------------------
+
+# scheme://[userinfo@]host[:port][/...] — explicit ASCII classes so the
+# JVM and RE2/DuckDB agree byte-for-byte (CLAUDE.md invariant).
+_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+
+# Minimal multi-label public-suffix set — a real deployment swaps in the
+# full PSL as a broadcast table; the EXPRESSION shape (suffix-aware label
+# slice) is what matters here and is identical either way.
+MULTI_SUFFIXES = ("co.uk", "com.au", "co.jp", "com.br", "co.in")
+
+
+def url_host_expr(c: Column) -> Column:
+    """Lowercased host part of a URL ('' when the URL does not parse)."""
+    return F.lower(F.regexp_extract(c, _HOST_RE, 1))
+
+
+def url_registered_domain_expr(c: Column) -> Column:
+    """eTLD+1 under :data:`MULTI_SUFFIXES`: last two host labels, or last
+    three when the last two form a listed multi-label suffix. Pure array
+    ops — codegen-friendly, usable in a scan filter."""
+    host = url_host_expr(c)
+    labels = F.split(host, "\\.")
+    nlab = F.size(labels)
+    last2 = F.concat_ws(".", F.slice(labels, nlab - 1, 2))
+    take = F.when(
+        (nlab >= 3) & last2.isin(*MULTI_SUFFIXES), F.lit(3)
+    ).otherwise(F.lit(2))
+    return F.when(
+        nlab >= take, F.concat_ws(".", F.slice(labels, nlab - take + 1, 10))
+    ).otherwise(host)
+
+
+def url_filter(
+    df: DataFrame,
+    blocked_domains: list[str] | DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Annotate rows with ``registered_domain`` and ``url_blocked``.
+
+    ``blocked_domains`` as a Python list (≲10k entries) becomes an
+    ``isin`` literal — a pushdown-able scan filter, zero joins. A
+    DataFrame blocklist (millions of domains) becomes a broadcast
+    left-semi-style join instead. Callers drop with
+    ``.filter(~F.col('url_blocked'))``.
+    """
+    dom = url_registered_domain_expr(F.col(url_col))
+    out = df.withColumn("registered_domain", dom)
+    if isinstance(blocked_domains, DataFrame):
+        bl = F.broadcast(
+            blocked_domains.toDF("registered_domain").withColumn("_blk", F.lit(1))
+        )
+        return (
+            out.join(bl, "registered_domain", "left")
+            .withColumn("url_blocked", F.col("_blk").isNotNull())
+            .drop("_blk")
+        )
+    return out.withColumn(
+        "url_blocked",
+        F.col("registered_domain").isin(*blocked_domains)
+        if blocked_domains
+        else F.lit(False),
+    )
