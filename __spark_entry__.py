@@ -796,6 +796,32 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-budget selection (operators/sampling.py): highest-
+    priority docs until 12k tokens, via the bounded-histogram two-pass
+    (NO global sort — the naive Window runs single-partition). Priority
+    is a deterministic pseudo-uniform function of the text so both
+    engines rank identically; ties broken by md5(doc_id)."""
+    from data_profiler_spark.operators import sampling
+    from data_profiler_spark.operators.dedup import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    prio = F.pmod(F.length("text"), F.lit(997)) / F.lit(996.0)
+    toks = F.size(tokens_expr(F.col("text")))
+    sel = sampling.token_budget_sample(docs, 12000, priority=prio, tokens=toks, bins=256)
+    return sel.select("doc_id", F.round("priority", 6).alias("priority"), "tokens")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language sample (sampling.stratified_sample_exact):
+    exactly min(25, |stratum|) docs per lang, md5-hash-ranked — the
+    deterministic counterpart of DataFrame.sampleBy."""
+    from data_profiler_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample_exact(docs, "lang", 25).select("lang", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_nchars": q_profile_nchars,
@@ -844,6 +870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_docs": q_line_dedup_docs,
         "contamination_screen": q_contamination_screen,
         "url_domain_stats": q_url_domain_stats,
+        "token_budget_sample": q_token_budget_sample,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1562,6 +1590,31 @@ _ORACLE.update(
                    sum(CASE WHEN registered_domain IN ('site3.com','site7.co.uk')
                             THEN 1 ELSE 0 END)::BIGINT AS n_blocked
             FROM d GROUP BY registered_domain ORDER BY registered_domain
+        """,
+        "token_budget_sample": """
+            WITH t AS (
+              SELECT doc_id,
+                     (length(text) % 997) / 996.0 AS priority,
+                     len(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                         x -> x <> ''))::BIGINT AS tokens,
+                     md5(doc_id::VARCHAR) AS tb
+              FROM documents
+            ), o AS (
+              SELECT doc_id, priority, tokens,
+                     sum(tokens) OVER (ORDER BY priority DESC, tb ASC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+              FROM t
+            )
+            SELECT doc_id, round(priority, 6) AS priority, tokens
+            FROM o WHERE run <= 12000 ORDER BY doc_id
+        """,
+        "stratified_sample": """
+            SELECT lang, doc_id FROM (
+              SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY md5(doc_id::VARCHAR)) AS rk
+              FROM documents
+            ) WHERE rk <= 25 ORDER BY lang, doc_id
         """,
     }
 )

@@ -1,0 +1,112 @@
+"""Deterministic selection operators (operators/sampling.py): exact
+token-budget selection via the bounded-histogram two-pass, exact
+stratified sampling — checked against the naive global-window answer."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators import sampling
+
+
+def _fixture(spark, n=300):
+    """Docs with clumpy priorities (ties across docs) and varied token
+    counts — exercises hash tie-breaks and the boundary bin."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37, F.lit(50)) / 50.0).alias("prio"),
+        (F.pmod(F.col("id") * 13, F.lit(90)) + 1).alias("toks"),
+    )
+
+
+def _global_prefix(rows, budget):
+    """Independent reference: sort by (prio desc, md5(id)), maximal
+    prefix with total tokens <= budget."""
+    ordered = sorted(
+        rows, key=lambda r: (-r["prio"], hashlib.md5(str(r["doc_id"]).encode()).hexdigest())
+    )
+    out, cum = set(), 0
+    for r in ordered:
+        if cum + r["toks"] > budget:
+            break
+        cum += r["toks"]
+        out.add(r["doc_id"])
+    return out, cum
+
+
+def test_token_budget_sample_matches_global_prefix(spark):
+    df = _fixture(spark)
+    rows = df.collect()
+    for budget in (0, 500, 4000, 10**9):
+        got = sampling.token_budget_sample(
+            df, budget, priority=F.col("prio"), tokens=F.col("toks"), bins=64
+        ).collect()
+        want_ids, want_cum = _global_prefix(rows, budget)
+        assert {r["doc_id"] for r in got} == want_ids, budget
+        assert sum(r["tokens"] for r in got) == want_cum, budget
+
+
+def test_token_budget_sample_bin_count_invariance(spark):
+    """The answer is EXACT for any bins value — coarse bins just sort a
+    bigger boundary bin."""
+    df = _fixture(spark)
+    base = {
+        r["doc_id"]
+        for r in sampling.token_budget_sample(
+            df, 3000, priority=F.col("prio"), tokens=F.col("toks"), bins=1
+        ).collect()
+    }
+    for bins in (4, 64, 4096):
+        got = {
+            r["doc_id"]
+            for r in sampling.token_budget_sample(
+                df, 3000, priority=F.col("prio"), tokens=F.col("toks"), bins=bins
+            ).collect()
+        }
+        assert got == base, bins
+
+
+def test_token_budget_sample_null_priority_sorts_last(spark):
+    df = spark.createDataFrame(
+        [(1, 0.9, 10), (2, None, 10), (3, 0.5, 10)], "doc_id long, prio double, toks long"
+    )
+    got = sampling.token_budget_sample(
+        df, 20, priority=F.col("prio"), tokens=F.col("toks"), bins=8
+    )
+    assert {r["doc_id"] for r in got.collect()} == {1, 3}
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark, documents):
+    got = sampling.stratified_sample_exact(documents, "lang", 7)
+    counts = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {
+        r["lang"]: r["n"] for r in documents.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {k: min(7, v) for k, v in sizes.items()}
+    # deterministic: same ids on re-run, and they equal the hash-rank rule
+    again = sampling.stratified_sample_exact(documents, "lang", 7)
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")))
+    want = (
+        documents.withColumn("rk", F.row_number().over(w)).filter("rk <= 7").drop("rk")
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in want.collect()
+    )
+
+
+def test_token_budget_histogram_is_bounded(spark):
+    """The driver-side state is the bin histogram, never the rows: with
+    bins=16 the first aggregate's result has at most 16 rows regardless
+    of input size."""
+    df = _fixture(spark, n=2000)
+    prio = F.coalesce(F.col("prio").cast("double"), F.lit(0.0))
+    b = F.least(
+        F.greatest(F.floor(prio * 16).cast("long"), F.lit(0)), F.lit(15)
+    )
+    assert df.select(b.alias("b")).distinct().count() <= 16
