@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "embedding_near_dup_t09",
     "user_sessions",
+    "line_dedup_docs",
+    "token_budget_sample",
     "quality_score_by_source",
 ]
 
