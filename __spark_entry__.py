@@ -424,8 +424,13 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_spark.operators import dedup
 
     df = _t(spark, sf_dir, "documents")
+    toks = df.select(F.array_distinct(dedup.tokens_expr(F.col("text"))).alias("toks"))
+    hashed = toks.select(
+        F.transform("toks", lambda t: F.md5(t)).alias("hx"),
+        F.size("toks").alias("n"),
+    )
     return (
-        df.select(dedup.simhash_expr(F.col("text")).alias("sim"))
+        hashed.select(dedup.simhash_from_hashes(F.col("hx"), F.col("n")).alias("sim"))
         .groupBy("sim")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("sim"))
