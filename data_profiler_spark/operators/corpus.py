@@ -159,13 +159,14 @@ def line_dedup(
 # ---------------------------------------------------------------------------
 
 
-def word_ngrams_expr(c: Column, n: int) -> Column:
+def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
     """POSITIONAL word n-grams (not distinct — unlike
     ``dedup.shingles_expr`` — so ``total_ngrams`` is the true positional
-    denominator for a contamination fraction). Docs with fewer than ``n``
-    tokens yield an empty array (no fallback shingle: a 3-word doc cannot
-    contain a 13-gram)."""
-    toks = tokens_expr(c)
+    denominator for a contamination fraction) from a MATERIALIZED
+    token-array attribute (inline tokenization would re-run per
+    reference — see ``dedup.shingles_from_tokens``). Docs with fewer
+    than ``n`` tokens yield an empty array (no fallback shingle: a
+    3-word doc cannot contain a 13-gram)."""
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -175,12 +176,19 @@ def word_ngrams_expr(c: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def word_ngrams_expr(c: Column, n: int) -> Column:
+    """Single-expression n-gram form (tokenizes inline; plan-building
+    call sites materialize tokens and use ``word_ngrams_from_tokens``)."""
+    return word_ngrams_from_tokens(tokens_expr(c), n)
+
+
 def eval_ngram_set(eval_df: DataFrame, text_col: str = "text", n: int = 13) -> DataFrame:
     """Distinct word n-grams of the evaluation set, as a one-column DF
     (``ngram``). Small by construction (eval suites are thousands of
     docs) — callers broadcast it."""
+    toks = eval_df.select(tokens_expr(F.col(text_col)).alias("_tk"))
     return (
-        eval_df.select(F.explode(word_ngrams_expr(F.col(text_col), n)).alias("ngram"))
+        toks.select(F.explode(word_ngrams_from_tokens(F.col("_tk"), n)).alias("ngram"))
         .distinct()
     )
 
@@ -207,9 +215,10 @@ def contamination_report(
     shuffles its n-grams.
     """
     evl = F.broadcast(eval_ngram_set(eval_df, text_col=text_col, n=n))
-    exploded = corpus.select(
+    toks = corpus.select(F.col(id_col), tokens_expr(F.col(text_col)).alias("_tk"))
+    exploded = toks.select(
         F.col(id_col),
-        F.posexplode_outer(word_ngrams_expr(F.col(text_col), n)).alias("_i", "ngram"),
+        F.posexplode_outer(word_ngrams_from_tokens(F.col("_tk"), n)).alias("_i", "ngram"),
     )
     probed = exploded.join(evl.withColumn("_hit", F.lit(1)), "ngram", "left")
     return probed.groupBy(id_col).agg(

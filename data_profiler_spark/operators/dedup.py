@@ -90,10 +90,13 @@ def tokens_expr(c: Column) -> Column:
     return F.filter(F.split(c, _WS), lambda w: w != "")
 
 
-def shingles_expr(c: Column, n: int = DEFAULT_SHINGLE) -> Column:
-    """Distinct word n-gram shingles; docs shorter than n words fall back
-    to one whole-text shingle (so short docs still dedup exactly)."""
-    toks = tokens_expr(c)
+def shingles_from_tokens(toks: Column, n: int = DEFAULT_SHINGLE) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED token-array
+    attribute; docs shorter than n words fall back to one whole-text
+    shingle (so short docs still dedup exactly). Pass an attribute, not
+    an inline tokenization — this expression references the array ~4
+    times (sizes, slice lambda, fallback) and codegen re-evaluates
+    inline subtrees per reference (measured 5.4× at sf0.1)."""
     ngrams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
@@ -101,6 +104,13 @@ def shingles_expr(c: Column, n: int = DEFAULT_SHINGLE) -> Column:
     return F.array_distinct(
         F.when(F.size(toks) >= n, ngrams).otherwise(F.array(F.concat_ws(" ", toks)))
     )
+
+
+def shingles_expr(c: Column, n: int = DEFAULT_SHINGLE) -> Column:
+    """Single-expression shingle form (tokenization inline — convenient
+    for tests/oracles; plan-building call sites use ``_shingle_sets`` /
+    :func:`shingles_from_tokens` to tokenize once)."""
+    return shingles_from_tokens(tokens_expr(c), n)
 
 
 def _minhash_one(sh: Column, perm: int, hash_fn: str = "md5") -> Column:
@@ -154,9 +164,10 @@ def jaccard_expr(a: Column, b: Column) -> Column:
 
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, shingle: int) -> DataFrame:
-    return _widen(df).select(
-        F.col(id_col).alias("_id"), shingles_expr(F.col(text_col), shingle).alias("_sh")
+    toks = _widen(df).select(
+        F.col(id_col).alias("_id"), tokens_expr(F.col(text_col)).alias("_tk")
     )
+    return toks.select("_id", shingles_from_tokens(F.col("_tk"), shingle).alias("_sh"))
 
 
 def _verify_pairs(cand: DataFrame, sets: DataFrame, id_col: str, threshold: float) -> DataFrame:
