@@ -752,6 +752,21 @@ def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "clean_text", "lines_kept", "lines_dropped")
 
 
+def q_line_dedup_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document line dedup (corpus.line_dedup_within_doc): repeated
+    lines inside ONE document keep only their first occurrence — a pure
+    narrow map, zero shuffles (plan-asserted in tests). Same derived
+    multi-line text as line_dedup_docs."""
+    from data_profiler_spark.operators import corpus
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.replace(F.col("text"), F.lit(" a "), F.lit("\n")).alias("text")
+    )
+    return corpus.line_dedup_within_doc(df).select(
+        "doc_id", "clean_text", "lines_kept", "lines_dropped"
+    )
+
+
 def q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-decontamination screen (corpus.contamination_report):
     docs with doc_id % 97 == 0 play the eval suite; every remaining doc
@@ -873,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_orders": q_events_asof_orders,
         "events_in_order_window": q_events_in_order_window,
         "line_dedup_docs": q_line_dedup_docs,
+        "line_dedup_within": q_line_dedup_within,
         "contamination_screen": q_contamination_screen,
         "url_domain_stats": q_url_domain_stats,
         "token_budget_sample": q_token_budget_sample,
@@ -1535,6 +1551,25 @@ _ORACLE.update(
                    coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS clean_text,
                    count(*) FILTER (WHERE keep) AS lines_kept,
                    count(*) FILTER (WHERE NOT keep) AS lines_dropped
+            FROM k GROUP BY doc_id ORDER BY doc_id
+        """,
+        "line_dedup_within": """
+            WITH base AS (
+              SELECT doc_id, replace(text, ' a ', chr(10)) AS text FROM documents
+            ), l AS (
+              SELECT doc_id,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+                     unnest(string_split(text, chr(10))) AS line
+              FROM base
+            ), k AS (
+              SELECT doc_id, pos, line,
+                     row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+              FROM l
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE rn = 1), '') AS clean_text,
+                   count(*) FILTER (WHERE rn = 1) AS lines_kept,
+                   count(*) FILTER (WHERE rn > 1) AS lines_dropped
             FROM k GROUP BY doc_id ORDER BY doc_id
         """,
         "contamination_screen": """

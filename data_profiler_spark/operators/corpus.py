@@ -154,6 +154,53 @@ def line_dedup(
     )
 
 
+def line_dedup_within_doc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document line dedup: each line survives only at its FIRST
+    occurrence within its own document (repeated boilerplate inside one
+    page). Unlike :func:`line_dedup` this needs no corpus-wide state, so
+    it is a pure narrow map — ZERO shuffles, pushdown-transparent, and
+    composes into any scoring pipeline for free.
+
+    Keep rule: line *i* kept iff ``array_position(lines, lines[i]) ==
+    i+1`` (first index of that exact text). ``array_position`` is O(L)
+    per line → O(L²) per doc in line count — fine for real documents
+    (hundreds of lines); corpus-wide repetition is the scale problem and
+    lives in :func:`line_dedup`.
+
+    Returns ``(id, clean_text, lines_kept, lines_dropped)`` — same shape
+    as :func:`line_dedup`; null text stays null.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    base = df.select(F.col(id_col), lines.alias("_ls"))
+    kept = F.filter(
+        F.transform(F.col("_ls"), lambda x, i: F.struct(x.alias("l"), i.alias("p"))),
+        lambda s: F.array_position(F.col("_ls"), s["l"]) == s["p"] + 1,
+    )
+    marked = base.select(
+        F.col(id_col),
+        kept.alias("_keep"),
+        F.size("_ls").alias("_total"),
+    )
+    return marked.select(
+        F.col(id_col),
+        F.when(
+            F.col("_total") >= 0,
+            F.concat_ws("\n", F.transform(F.col("_keep"), lambda s: s["l"])),
+        ).alias("clean_text"),
+        F.when(F.col("_total") >= 0, F.size("_keep")).otherwise(F.lit(0))
+        .cast("long")
+        .alias("lines_kept"),
+        F.when(F.col("_total") >= 0, F.col("_total") - F.size("_keep"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("lines_dropped"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Benchmark-contamination screening
 # ---------------------------------------------------------------------------

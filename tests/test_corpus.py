@@ -88,6 +88,27 @@ def test_line_counts_first_occurrence(spark):
     assert "-" not in rows
 
 
+def test_line_dedup_within_doc(spark):
+    docs = [
+        (0, "repeat me\nunique a\nrepeat me\nunique b\nrepeat me"),
+        (1, "repeat me\nother text"),  # cross-doc repeats are NOT deduped
+        (2, ""),
+        (3, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["lines_kept"], r["lines_dropped"])
+        for r in corpus.line_dedup_within_doc(df).collect()
+    }
+    assert got[0] == ("repeat me\nunique a\nunique b", 3, 2)
+    assert got[1] == ("repeat me\nother text", 2, 0)
+    assert got[2] == ("", 1, 0)
+    assert got[3] == (None, 0, 0)
+    # narrow map: no exchange in the plan
+    plan = corpus.line_dedup_within_doc(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 # ---------------------------------------------------------------------------
 # contamination
 # ---------------------------------------------------------------------------
