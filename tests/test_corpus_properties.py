@@ -1,0 +1,66 @@
+"""Property-based checks (hypothesis) for the corpus-selection operators:
+randomized inputs vs independent pure-Python references. One Spark job
+per example is too slow, so each property generates a BATCH of random
+docs, runs the operator once, and checks every doc."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators import corpus, sampling
+
+_LINE = st.text(alphabet="ab X-", min_size=0, max_size=8)
+_TEXT = st.lists(_LINE, min_size=1, max_size=6).map(lambda ls: "\n".join(ls))
+
+
+def _py_within(text):
+    seen, kept, dropped = set(), [], 0
+    for line in text.split("\n"):
+        if line in seen:
+            dropped += 1
+        else:
+            seen.add(line)
+            kept.append(line)
+    return "\n".join(kept), len(kept), dropped
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_TEXT, min_size=1, max_size=12))
+def test_line_dedup_within_doc_property(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["lines_kept"], r["lines_dropped"])
+        for r in corpus.line_dedup_within_doc(df).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_within(t), repr(t)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.tuples(st.floats(0, 1), st.integers(0, 50)), min_size=1, max_size=40),
+    st.integers(0, 400),
+)
+def test_token_budget_sample_property(spark, rows, budget):
+    data = [(i, p, t) for i, (p, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, prio double, toks long")
+    got = {
+        r["doc_id"]
+        for r in sampling.token_budget_sample(
+            df, budget, priority=F.col("prio"), tokens=F.col("toks"), bins=8
+        ).collect()
+    }
+    ordered = sorted(
+        data, key=lambda r: (-r[1], hashlib.md5(str(r[0]).encode()).hexdigest())
+    )
+    want, cum = set(), 0
+    for i, _, t in ordered:
+        if cum + t > budget:
+            break
+        cum += t
+        want.add(i)
+    assert got == want
