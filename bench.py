@@ -71,6 +71,19 @@ def _simhash_prod(spark, sf_dir):
     return dedup.simhash_pairs(df, "doc_id", "text", max_hamming=3)
 
 
+def _ngram_jaccard_prod(spark, sf_dir):
+    """Production-config n-gram Jaccard: document-frequency cap LOW
+    enough to bind at sf0.1 (max_shingle_df=100 vs per-shingle df up to
+    5k on this fixture), so the hot-shingle exact-recovery joins — the
+    web-scale guardrail path — are actually exercised and timed. The
+    queries() entry passes max_shingle_df=None because the DuckDB oracle
+    computes the uncapped all-pairs answer."""
+    from data_profiler_spark.operators import dedup
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.8, max_shingle_df=100)
+
+
 def _embedding_near_dup_t09(spark, sf_dir):
     """Embedding near-dup at the pruning-representative t=0.9 via the
     banded-LSH mode (the documented high-dim default for isotropic
@@ -85,6 +98,7 @@ def _embedding_near_dup_t09(spark, sf_dir):
 BENCH_OVERRIDES = {
     "minhash_lsh_dedup": _minhash_prod,
     "simhash_pairs": _simhash_prod,
+    "ngram_jaccard_capped": _ngram_jaccard_prod,
     "embedding_near_dup_t09": _embedding_near_dup_t09,
 }
 
@@ -102,6 +116,7 @@ BENCH_QUERIES = [
     "ann_cosine_top10",
     "minhash_lsh_dedup",
     "ngram_jaccard_dup",
+    "ngram_jaccard_capped",
     "simhash_signatures",
     "simhash_pairs",
     "embedding_near_dup",
