@@ -54,6 +54,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-line-occurrences", type=int, default=1)
     ap.add_argument("--line-min-chars", type=int, default=5)
     ap.add_argument("--local-cores", type=int, default=None, help="sandbox only; omit on a cluster")
+    ap.add_argument(
+        "--stage-counts",
+        action="store_true",
+        help="count docs after each stage (one EXTRA full scan per stage — "
+        "diagnostics only; the default single-scan run reports output "
+        "stats from the written parquet read-back)",
+    )
     args = ap.parse_args(argv)
 
     spark = build_session("corpus_clean", args.local_cores)
@@ -68,7 +75,9 @@ def main(argv: list[str] | None = None) -> int:
     else:
         ap.error("one of --input / --synth is required")
 
-    stats: dict[str, int] = {"input_docs": docs.count()}
+    stats: dict[str, int] = {}
+    if args.stage_counts:
+        stats["input_docs"] = docs.count()
 
     if args.blocklist and "url" in docs.columns:
         blocked = [
@@ -79,7 +88,8 @@ def main(argv: list[str] | None = None) -> int:
         docs = corpus.url_filter(docs, blocked).filter(~F.col("url_blocked")).drop(
             "url_blocked", "registered_domain"
         )
-        stats["after_url_filter"] = docs.count()
+        if args.stage_counts:
+            stats["after_url_filter"] = docs.count()
 
     if args.eval_set:
         evl = spark.read.parquet(args.eval_set)
@@ -89,7 +99,8 @@ def main(argv: list[str] | None = None) -> int:
             "doc_id",
             "left",
         ).filter(F.col("_c").isNull()).drop("_c")
-        stats["after_decontamination"] = docs.count()
+        if args.stage_counts:
+            stats["after_decontamination"] = docs.count()
 
     cleaned = corpus.line_dedup(
         docs,
