@@ -26,6 +26,12 @@ from pyspark.sql import functions as F
 DEFAULT_BINS = 4096
 
 
+# 13 hex chars = 52 bits: exactly representable in a long AND a double,
+# so hash-bucket arithmetic never loses precision.
+_HASH_BITS = 52
+_HASH_LEVEL_BITS = 12  # 4096 buckets per hash refinement level
+
+
 def token_budget_sample(
     df: DataFrame,
     budget_tokens: int,
@@ -35,6 +41,8 @@ def token_budget_sample(
     bins: int = DEFAULT_BINS,
     lo: float = 0.0,
     hi: float = 1.0,
+    boundary_cutoff: int = 100_000,
+    max_levels: int = 20,
 ) -> DataFrame:
     """Select documents in priority order until the token budget is spent.
 
@@ -43,71 +51,125 @@ def token_budget_sample(
     INCLUDING itself is ≤ ``budget_tokens``. Null priorities sort last
     (coalesced to ``lo``).
 
-    Scale shape — the whole point of this operator:
+    Scale shape — ITERATIVE HISTOGRAM REFINEMENT, never a global sort
+    (the naive ``Window.orderBy`` cumsum runs on a single partition):
 
-    1. One narrow projection computes ``(id, prio, toks, bin)`` where
-       ``bin = floor((prio - lo) / (hi - lo) * bins)`` (equal priorities
-       always share a bin, so bin order is priority order).
-    2. One groupBy over ≤ ``bins`` keys → per-bin token totals — a
-       map-side-combinable agg whose result fits on the driver no matter
-       the corpus size.
-    3. The driver scans bins highest-first: bins whose cumulative total
-       stays within budget are taken WHOLE (a pure filter, no sort);
-       the single boundary bin gets the leftover budget.
-    4. Only the boundary bin (expected n/``bins`` rows) is sorted — a
-       per-bin window, not a global one. Its running sum must start from
-       the same (priority DESC, hash) order the global sort would use,
-       which holds because every higher-priority doc is in a higher bin.
+    1. Bin candidates by priority over [``lo``, ``hi``) into ``bins``
+       buckets; one map-side-combinable agg → per-bin token totals +
+       row counts (≤ ``bins`` rows on the driver).
+    2. Driver scans bins highest-first: bins whose cumulative total fits
+       the budget are selected WHOLE (a pure filter); the single
+       boundary bin gets the leftover budget.
+    3. If the boundary bin still holds > ``boundary_cutoff`` rows, ZOOM:
+       re-bin just those rows over the bin's own priority sub-range and
+       repeat. Equal priorities never separate under zoom, so when the
+       boundary bin collapses to ONE distinct priority (tracked in the
+       same agg), switch the refinement key to the md5 tie-break hash —
+       uniform by construction, bucketed by 12-bit prefix ranges
+       (order-compatible with the ``_tb ASC`` tie-break) — which cuts
+       candidates ~4096× per level regardless of data skew.
+    4. The final ≤ ``boundary_cutoff`` candidates get the only sort — a
+       single bounded task. Driver state stays ≤ ``bins`` rows per
+       level; levels are O(log(n)) with a ``max_levels`` backstop.
 
-    Returns ``(id, priority, tokens, selected_bin)`` for the selected
-    docs. ``lo``/``hi`` bound the priority range (default [0, 1] — the
-    engine's quality-score range); out-of-range values clamp into the
-    edge bins, which stays EXACT as long as clamped values keep their
-    relative order within the edge bin (they do: the boundary-bin sort
-    uses the raw priority, not the bin).
+    This keeps the selection EXACT under the adversarial-but-realistic
+    case of heavily tied priorities (quantized quality scores), where a
+    single-level histogram would funnel most of the corpus into one
+    boundary bin and sort it on one task.
+
+    Returns ``(id, priority, tokens)`` for the selected docs. ``lo`` /
+    ``hi`` bound the priority range (default [0, 1] — the engine's
+    quality-score range); out-of-range values clamp into the edge bins,
+    which stays exact because zoom and the final sort use the raw
+    priority, not the bin.
     """
-    span = float(hi) - float(lo)
     prio = F.coalesce(priority.cast("double"), F.lit(float(lo)))
-    raw_bin = F.floor((prio - F.lit(float(lo))) / F.lit(span) * F.lit(bins)).cast("long")
-    bin_col = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(bins - 1))
     base = df.select(
         F.col(id_col),
         prio.alias("priority"),
         tokens.cast("long").alias("tokens"),
-        bin_col.alias("selected_bin"),
         F.md5(F.col(id_col).cast("string")).alias("_tb"),
     )
+    out_cols = [id_col, "priority", "tokens"]
+    hash_key = F.conv(F.substring("_tb", 1, _HASH_BITS // 4), 16, 10).cast("long")
 
-    hist = {
-        r["selected_bin"]: r["total"]
-        for r in base.groupBy("selected_bin").agg(F.sum("tokens").alias("total")).collect()
-    }
-    cum = 0
-    full_bins: list[int] = []
-    boundary_bin: int | None = None
-    boundary_budget = 0
-    for b in sorted(hist, reverse=True):
-        if cum + hist[b] <= budget_tokens:
-            full_bins.append(b)
-            cum += hist[b]
-        else:
-            boundary_bin = b
-            boundary_budget = budget_tokens - cum
+    selected: list[DataFrame] = []
+    cand = base
+    budget_left = int(budget_tokens)
+    mode = "prio"
+    cur_lo, cur_hi = float(lo), float(hi)
+    hash_shift = _HASH_BITS - _HASH_LEVEL_BITS
+    boundary_rows: int | None = None  # unknown before the first histogram
+
+    for _level in range(max_levels):
+        if boundary_rows is not None and boundary_rows <= boundary_cutoff:
             break
+        if mode == "prio":
+            span = cur_hi - cur_lo
+            if span <= 0.0:  # float underflow: ties in all but name
+                mode = "hash"
+                continue
+            raw = F.floor((F.col("priority") - F.lit(cur_lo)) / F.lit(span) * F.lit(bins))
+            key = F.least(F.greatest(raw.cast("long"), F.lit(0)), F.lit(bins - 1))
+            descending = True
+        else:
+            key = F.shiftright(hash_key, hash_shift).bitwiseAND(F.lit((1 << _HASH_LEVEL_BITS) - 1))
+            descending = False
+        hist = {
+            r["k"]: r
+            for r in cand.groupBy(key.alias("k"))
+            .agg(
+                F.sum("tokens").alias("total"),
+                F.count(F.lit(1)).alias("rows"),
+                F.count_distinct("priority").alias("ndp"),
+            )
+            .collect()
+        }
+        cum = 0
+        full_keys: list[int] = []
+        boundary_key: int | None = None
+        for k in sorted(hist, reverse=descending):
+            if cum + hist[k]["total"] <= budget_left:
+                full_keys.append(k)
+                cum += hist[k]["total"]
+            else:
+                boundary_key = k
+                break
+        if full_keys:
+            selected.append(cand.filter(key.isin(full_keys)).select(*out_cols))
+        budget_left -= cum
+        if boundary_key is None:
+            return _union_all(selected, base, out_cols)
+        row = hist[boundary_key]
+        cand = cand.filter(key == boundary_key)
+        boundary_rows = row["rows"]
+        if mode == "prio":
+            if row["ndp"] <= 1:
+                mode = "hash"
+            else:
+                w = (cur_hi - cur_lo) / bins
+                cur_lo, cur_hi = cur_lo + boundary_key * w, cur_lo + (boundary_key + 1) * w
+        else:
+            hash_shift = max(hash_shift - _HASH_LEVEL_BITS, 0)
 
-    out_cols = [id_col, "priority", "tokens", "selected_bin"]
-    whole = base.filter(F.col("selected_bin").isin(full_bins) if full_bins else F.lit(False))
-    if boundary_bin is None:
-        return whole.select(*out_cols)
-    w = Window.partitionBy("selected_bin").orderBy(
-        F.col("priority").desc(), F.col("_tb").asc()
-    )
+    # final bounded sort: the only per-row ordering in the whole plan
+    w = Window.orderBy(F.col("priority").desc(), F.col("_tb").asc())
     partial = (
-        base.filter(F.col("selected_bin") == boundary_bin)
-        .withColumn("_run", F.sum("tokens").over(w))
-        .filter(F.col("_run") <= boundary_budget)
+        cand.withColumn("_run", F.sum("tokens").over(w))
+        .filter(F.col("_run") <= budget_left)
+        .select(*out_cols)
     )
-    return whole.select(*out_cols).unionByName(partial.select(*out_cols))
+    selected.append(partial)
+    return _union_all(selected, base, out_cols)
+
+
+def _union_all(parts: list[DataFrame], base: DataFrame, out_cols: list[str]) -> DataFrame:
+    if not parts:
+        return base.filter(F.lit(False)).select(*out_cols)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def stratified_sample_exact(

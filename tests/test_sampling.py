@@ -79,6 +79,44 @@ def test_token_budget_sample_null_priority_sorts_last(spark):
     assert {r["doc_id"] for r in got.collect()} == {1, 3}
 
 
+def test_token_budget_tied_priorities_hash_refinement(spark):
+    """All-equal priorities (quantized quality scores): priority zoom can
+    never separate them, so the operator must switch to md5-hash-range
+    refinement. boundary_cutoff=8 forces several refinement levels on a
+    300-row fixture; the answer must still equal the global prefix."""
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0.5).alias("prio"),
+        (F.pmod(F.col("id") * 13, F.lit(90)) + 1).alias("toks"),
+    )
+    rows = df.collect()
+    got = sampling.token_budget_sample(
+        df, 4000, priority=F.col("prio"), tokens=F.col("toks"),
+        bins=16, boundary_cutoff=8,
+    ).collect()
+    want_ids, want_cum = _global_prefix(rows, 4000)
+    assert {r["doc_id"] for r in got} == want_ids
+    assert sum(r["tokens"] for r in got) == want_cum
+
+
+def test_token_budget_zoom_refinement_close_priorities(spark):
+    """Distinct but tightly clustered priorities: a small cutoff forces
+    the priority-range zoom levels; exactness must hold."""
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (0.5 + F.col("id") / 1e9).alias("prio"),
+        (F.pmod(F.col("id") * 7, F.lit(40)) + 1).alias("toks"),
+    )
+    rows = df.collect()
+    got = sampling.token_budget_sample(
+        df, 1500, priority=F.col("prio"), tokens=F.col("toks"),
+        bins=16, boundary_cutoff=5,
+    ).collect()
+    want_ids, want_cum = _global_prefix(rows, 1500)
+    assert {r["doc_id"] for r in got} == want_ids
+    assert sum(r["tokens"] for r in got) == want_cum
+
+
 def test_stratified_sample_exact_counts_and_determinism(spark, documents):
     got = sampling.stratified_sample_exact(documents, "lang", 7)
     counts = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
