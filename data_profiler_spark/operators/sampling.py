@@ -177,6 +177,7 @@ def stratified_sample_exact(
     strata_col: str,
     n_per_stratum: int,
     id_col: str = "doc_id",
+    max_window_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exactly ``min(n, stratum size)`` rows per stratum, chosen by
     md5-hash rank of the id — deterministic, seedless, and uniform-ish
@@ -184,16 +185,76 @@ def stratified_sample_exact(
     ``DataFrame.sampleBy`` which is probabilistic in both membership and
     count.
 
-    One shuffle (the per-stratum window). The window partitions by
-    stratum, so a corpus-dominating stratum concentrates on one task;
-    for production-scale strata pre-filter with a ``TABLESAMPLE``-style
-    hash band (``md5(id) < k/|stratum|`` estimate) first and rank only
-    survivors — noted rather than built in because the exact top-n on
-    the band is the same code path.
+    Skew shape: the per-stratum ranking window funnels each stratum onto
+    one task, so a corpus-dominating stratum (80% one language) would
+    sort a near-corpus-sized partition. Strata larger than
+    ``max_window_rows`` therefore take a HASH-THRESHOLD path first: keep
+    only rows whose 52-bit hash prefix < t where
+    ``t ≈ 4·n/|stratum|`` of the hash space — the n smallest hashes are
+    all below t whenever ≥ n rows survive, so ranking the ~4n survivors
+    is EXACT, verified per stratum and t doubled (rare: P ~ e^-n) until
+    every big stratum has ≥ n survivors. Driver state = one (stratum,
+    count) row per stratum (strata are languages/sources — bounded).
     """
-    w = Window.partitionBy(strata_col).orderBy(F.md5(F.col(id_col).cast("string")))
-    return (
-        df.withColumn("_rk", F.row_number().over(w))
+    hash_col = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(hash_col)
+
+    sizes = {
+        r["s"]: r["c"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    big = {s for s, c in sizes.items() if c > max_window_rows}
+    if not big:
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= n_per_stratum)
+            .drop("_rk")
+        )
+
+    small_part = (
+        df.filter(F.col(strata_col).isNull() | ~F.col(strata_col).isin(*big))
+        if len(big) < len(sizes)
+        else None
+    )
+    hash_key = F.conv(F.substring(hash_col, 1, _HASH_BITS // 4), 16, 10).cast("long")
+    space = 1 << _HASH_BITS
+    # per-stratum threshold, doubled until every big stratum keeps >= n
+    thresholds = {
+        s: min(space, max(1, (4 * n_per_stratum * space) // sizes[s])) for s in big
+    }
+    while True:
+        cond = None
+        for s in big:
+            c = (F.col(strata_col) == s) & (hash_key < thresholds[s])
+            cond = c if cond is None else (cond | c)
+        survivors = df.filter(cond)
+        got = {
+            r["s"]: r["c"]
+            for r in survivors.groupBy(F.col(strata_col).alias("s"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        short = [
+            s for s in big
+            if got.get(s, 0) < min(n_per_stratum, sizes[s]) and thresholds[s] < space
+        ]
+        if not short:
+            break
+        for s in short:
+            thresholds[s] = min(space, thresholds[s] * 2)
+
+    ranked_big = (
+        survivors.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+    if small_part is None:
+        return ranked_big
+    ranked_small = (
+        small_part.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+    return ranked_small.unionByName(ranked_big)

@@ -138,6 +138,35 @@ def test_stratified_sample_exact_counts_and_determinism(spark, documents):
     )
 
 
+def test_stratified_sample_hash_threshold_path_is_exact(spark, documents):
+    """Force every stratum down the big-stratum hash-threshold path
+    (max_window_rows=10) and one mixed run (only the largest stratum is
+    'big'); both must equal the plain window answer."""
+    plain = sorted(
+        r["doc_id"]
+        for r in sampling.stratified_sample_exact(documents, "lang", 7).collect()
+    )
+    all_big = sorted(
+        r["doc_id"]
+        for r in sampling.stratified_sample_exact(
+            documents, "lang", 7, max_window_rows=10
+        ).collect()
+    )
+    assert all_big == plain
+    sizes = sorted(
+        r["c"]
+        for r in documents.groupBy("lang").agg(F.count("*").alias("c")).collect()
+    )
+    mixed_cut = sizes[-1] - 1  # only the largest stratum exceeds it
+    mixed = sorted(
+        r["doc_id"]
+        for r in sampling.stratified_sample_exact(
+            documents, "lang", 7, max_window_rows=mixed_cut
+        ).collect()
+    )
+    assert mixed == plain
+
+
 def test_token_budget_histogram_is_bounded(spark):
     """The driver-side state is the bin histogram, never the rows: with
     bins=16 the first aggregate's result has at most 16 rows regardless
