@@ -842,6 +842,32 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_sample_exact(docs, "lang", 25).select("lang", "doc_id")
 
 
+# Wrap documents.text in a gnarly page shell — head/style/script/comment
+# blocks plus entities around the body — so the roundtrip exercises every
+# stage of the extraction chain, not just tag stripping.
+_HTML_PRE = (
+    '<html><head><title>skip</title><style>p { color: red }</style></head>'
+    "<body><!-- header --><p>"
+)
+_HTML_POST = '</p><script type="text/javascript">var x = 1 < 2;</script></body></html>'
+
+
+def q_html_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/html.py: byte-identical HTML→text extraction (the
+    input-hint per-row invariant) over a synthesized page shell around
+    every document — one narrow map, zero UDFs."""
+    from data_profiler_spark.functions.html import decode_html_expr
+
+    df = _t(spark, sf_dir, "documents")
+    html = F.encode(F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST)), "UTF-8")
+    x = decode_html_expr(html)
+    return df.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum((x == F.col("text")).cast("long")).alias("matches"),
+        F.sum(F.length(x)).cast("long").alias("total_chars"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_nchars": q_profile_nchars,
@@ -893,7 +919,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_stats": q_url_domain_stats,
         "token_budget_sample": q_token_budget_sample,
         "stratified_sample": q_stratified_sample,
+        "html_extract_roundtrip": q_html_extract_roundtrip,
     }
+
+
+def _html_extract_sql(col: str) -> str:
+    """DuckDB expression mirroring functions/html.py::html_to_text_expr —
+    generated from the SAME pattern/entity constants so the two engines
+    cannot drift."""
+    from data_profiler_spark.functions import html as H
+
+    out = col
+    for pat in H._DROP_BLOCKS:
+        out = f"regexp_replace({out}, '{pat}', '', 'g')"
+    any_tag = H._ANY_TAG_RE
+    out = f"regexp_replace({out}, '{any_tag}', '', 'g')"
+    for ent, ch in H.ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{ch_sql}')"
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1658,6 +1702,18 @@ _ORACLE.update(
         """,
     }
 )
+
+_ORACLE["html_extract_roundtrip"] = f"""
+    WITH h AS (
+      SELECT text, '{_HTML_PRE}' || text || '{_HTML_POST}' AS html FROM documents
+    ), e AS (
+      SELECT text, {_html_extract_sql("html")} AS x FROM h
+    )
+    SELECT count(*) AS docs,
+           sum(CASE WHEN x = text THEN 1 ELSE 0 END)::BIGINT AS matches,
+           sum(length(x))::BIGINT AS total_chars
+    FROM e
+"""
 
 
 def oracle_sql() -> dict[str, str]:
