@@ -868,6 +868,22 @@ def q_html_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.py::incremental_dedup — recurring-crawl exact dedup:
+    new batch (doc_id % 5 != 0) anti-joined against the existing corpus's
+    content hashes (doc_id % 5 == 0), within-batch keep-first included."""
+    from data_profiler_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 == 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0)
+    return (
+        incremental_dedup(new, corpus)
+        .select("doc_id", "content_hash")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_nchars": q_profile_nchars,
@@ -920,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "stratified_sample": q_stratified_sample,
         "html_extract_roundtrip": q_html_extract_roundtrip,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -1713,6 +1730,21 @@ _ORACLE["html_extract_roundtrip"] = f"""
            sum(CASE WHEN x = text THEN 1 ELSE 0 END)::BIGINT AS matches,
            sum(length(x))::BIGINT AS total_chars
     FROM e
+"""
+
+
+_ORACLE["incremental_dedup"] = """
+    WITH c AS (
+      SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 5 = 0
+    ), n AS (
+      SELECT doc_id, sha256(text) AS h,
+             row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rk
+      FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT doc_id, h AS content_hash
+    FROM n
+    WHERE rk = 1 AND NOT EXISTS (SELECT 1 FROM c WHERE c.h = n.h)
+    ORDER BY doc_id
 """
 
 

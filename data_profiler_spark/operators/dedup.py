@@ -38,7 +38,7 @@ token is the high bit of hex char *i* of its md5.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _WS = "[ \\t\\n\\x0B\\f\\r]+"
@@ -673,3 +673,64 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         .agg(F.min(id_col).alias("kept_id"), F.count(F.lit(1)).alias("group_size"))
         .select("kept_id", "group_size")
     )
+
+
+def corpus_content_hashes(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct sha256(text) of an existing corpus — the (tiny-per-row,
+    32-byte) hash table an incremental ingest anti-joins against. At
+    deployment this is a MAINTAINED table (written bucketed / Iceberg
+    bloom-filtered on ``content_hash``), appended after every accepted
+    batch, so each new crawl joins against hashes without rescanning
+    100 TB of text — only the hash column is read (column pruning) even
+    when derived from the full corpus directly."""
+    return (
+        corpus.select(F.sha2(F.col(text_col).cast("string"), 256).alias("content_hash"))
+        .distinct()
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_is_hashes: bool = False,
+) -> DataFrame:
+    """Incremental exact dedup: the rows of ``new_df`` (this crawl) that
+    survive against an EXISTING corpus — the recurring-ingest shape of
+    :func:`exact_dedup` (a fresh crawl is 1-5% new content; re-dedup-ing
+    the union from scratch would rescan the whole corpus every cycle).
+
+    Two stages, one content-hash shuffle each side:
+
+    1. **Within-batch keep-first** — ``row_number`` over
+       ``(hash, order by id)`` keeps the min-id copy of content repeated
+       INSIDE the new batch (the window's exchange doubles as the join
+       exchange below — the new side shuffles once).
+    2. **Anti join vs corpus hashes** — drop content the corpus already
+       holds. ``corpus_is_hashes=True`` takes a precomputed
+       ``content_hash`` table (:func:`corpus_content_hashes` — the
+       maintained-table deployment shape); otherwise hashes are derived
+       on the fly with only (text) read from the corpus scan.
+
+    Returns the surviving rows of ``new_df``, all original columns plus
+    ``content_hash`` (callers append exactly this column to the
+    maintained hash table after accepting the batch — lineage-complete).
+    Null texts hash like any other value (sha2 of the empty cast) so the
+    keep-first rule applies to them too, matching the oracle.
+    """
+    hashes = (
+        corpus.select(F.col("content_hash"))
+        if corpus_is_hashes
+        else corpus_content_hashes(corpus, text_col)
+    )
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+    batch = (
+        new_df.withColumn(
+            "content_hash", F.sha2(F.col(text_col).cast("string"), 256)
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    return batch.join(hashes, "content_hash", "left_anti")
