@@ -884,6 +884,18 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/drift.py::distribution_drift — per-bin PSI drift table
+    between two snapshots (even/odd doc_id halves) of the n_chars
+    distribution: the run-over-run lineage monitor."""
+    from data_profiler_spark.operators.drift import distribution_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    return distribution_drift(a, b, "n_chars", bins=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_nchars": q_profile_nchars,
@@ -937,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "html_extract_roundtrip": q_html_extract_roundtrip,
         "incremental_dedup": q_incremental_dedup,
+        "drift_nchars": q_drift_nchars,
     }
 
 
@@ -1745,6 +1758,38 @@ _ORACLE["incremental_dedup"] = """
     FROM n
     WHERE rk = 1 AND NOT EXISTS (SELECT 1 FROM c WHERE c.h = n.h)
     ORDER BY doc_id
+"""
+
+
+_ORACLE["drift_nchars"] = """
+    WITH bounds AS (
+      SELECT min(n_chars)::DOUBLE AS lo, max(n_chars)::DOUBLE AS hi FROM documents
+    ), params AS (
+      SELECT lo, CASE WHEN hi > lo THEN (hi - lo) / 10 ELSE 1.0 END AS w FROM bounds
+    ), binned AS (
+      SELECT greatest(least(floor((n_chars - lo) / w), 9), 0)::INT AS bin,
+             sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS cnt_a,
+             sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS cnt_b
+      FROM documents, params WHERE n_chars IS NOT NULL GROUP BY 1
+    ), grid AS (
+      SELECT unnest(range(10))::INT AS bin
+    ), j AS (
+      SELECT g.bin, coalesce(cnt_a, 0)::BIGINT AS cnt_a,
+             coalesce(cnt_b, 0)::BIGINT AS cnt_b
+      FROM grid g LEFT JOIN binned b USING (bin)
+    ), tot AS (
+      SELECT sum(cnt_a)::DOUBLE AS na, sum(cnt_b)::DOUBLE AS nb FROM j
+    )
+    SELECT bin,
+           round(lo + bin * w, 6) AS bin_lo,
+           round(lo + (bin + 1) * w, 6) AS bin_hi,
+           cnt_a, cnt_b,
+           round(cnt_a / na, 6) AS p_a,
+           round(cnt_b / nb, 6) AS p_b,
+           round((greatest(cnt_a / na, 1e-6) - greatest(cnt_b / nb, 1e-6))
+                 * ln(greatest(cnt_a / na, 1e-6) / greatest(cnt_b / nb, 1e-6)), 6)
+               AS psi_contrib
+    FROM j, tot, params ORDER BY bin
 """
 
 

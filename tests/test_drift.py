@@ -1,0 +1,74 @@
+"""Distribution drift (PSI / TVD) between two snapshots."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.drift import (
+    PSI_EPS,
+    distribution_drift,
+    drift_summary,
+)
+
+
+def _py_psi(xs_a, xs_b, bins, lo, hi):
+    width = (hi - lo) / bins if hi > lo else 1.0
+    ca = [0] * bins
+    cb = [0] * bins
+    for xs, c in ((xs_a, ca), (xs_b, cb)):
+        for x in xs:
+            i = max(min(int(math.floor((x - lo) / width)), bins - 1), 0)
+            c[i] += 1
+    na, nb = sum(ca), sum(cb)
+    psi = tvd = 0.0
+    for i in range(bins):
+        pa = max(ca[i] / na, PSI_EPS)
+        pb = max(cb[i] / nb, PSI_EPS)
+        psi += (pa - pb) * math.log(pa / pb)
+        tvd += abs(ca[i] / na - cb[i] / nb)
+    return ca, cb, psi, tvd / 2
+
+
+def test_drift_matches_python_reference(spark):
+    xs_a = [float(x % 97) for x in range(1, 400)]
+    xs_b = [float((x * x) % 83) for x in range(1, 300)]  # different shape
+    a = spark.createDataFrame([(x,) for x in xs_a], "v double")
+    b = spark.createDataFrame([(x,) for x in xs_b], "v double")
+    lo, hi = min(xs_a + xs_b), max(xs_a + xs_b)
+    rows = distribution_drift(a, b, "v", bins=10).collect()
+    ca, cb, psi, tvd = _py_psi(xs_a, xs_b, 10, lo, hi)
+    assert [r["cnt_a"] for r in rows] == ca
+    assert [r["cnt_b"] for r in rows] == cb
+    got_psi = sum(r["psi_contrib"] for r in rows)
+    assert abs(got_psi - psi) < 1e-4  # per-bin rounding at 6 dp
+    s = drift_summary(a, b, "v", bins=10).collect()[0]
+    assert (s["n_a"], s["n_b"]) == (len(xs_a), len(xs_b))
+    assert abs(s["psi"] - psi) < 1e-6
+    assert abs(s["tvd"] - tvd) < 1e-6
+
+
+def test_drift_zero_on_identical_distributions(documents):
+    a = documents.filter(F.col("doc_id") >= 0)
+    s = drift_summary(a, a, "n_chars", bins=10).collect()[0]
+    assert s["psi"] == 0.0 and s["tvd"] == 0.0
+
+
+def test_drift_flags_disjoint_distributions(spark):
+    a = spark.createDataFrame([(float(x),) for x in range(100)], "v double")
+    b = spark.createDataFrame([(float(x + 1000),) for x in range(100)], "v double")
+    s = drift_summary(a, b, "v", bins=10).collect()[0]
+    assert s["psi"] > 0.25  # action threshold
+    assert s["tvd"] == 1.0
+    # pinned bounds keep runs comparable: everything clamps to edge bins
+    rows = distribution_drift(a, b, "v", bins=10, lo=0.0, hi=100.0).collect()
+    assert rows[9]["cnt_b"] == 100 and sum(r["cnt_a"] for r in rows) == 100
+
+
+def test_drift_null_and_empty_bins(spark):
+    a = spark.createDataFrame([(1.0,), (None,), (2.0,)], "v double")
+    b = spark.createDataFrame([(1.0,), (1.5,)], "v double")
+    rows = distribution_drift(a, b, "v", bins=4).collect()
+    assert len(rows) == 4  # every bin present even when both sides empty
+    assert sum(r["cnt_a"] for r in rows) == 2  # null excluded
