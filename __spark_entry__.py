@@ -896,6 +896,18 @@ def q_drift_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distribution_drift(a, b, "n_chars", bins=10)
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sampling.py::mixture_sample — training-mix composition:
+    80 docs at weights en .5 / fr .25 / es .25 (no stratum clamps at this
+    SF, so the oracle's one-shot apportionment is the same allocation the
+    water-filling loop computes; the clamping path is pytest-covered)."""
+    from data_profiler_spark.operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_sample(docs, "lang", {"en": 0.5, "fr": 0.25, "es": 0.25}, total=80)
+    return out.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_nchars": q_profile_nchars,
@@ -950,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_roundtrip": q_html_extract_roundtrip,
         "incremental_dedup": q_incremental_dedup,
         "drift_nchars": q_drift_nchars,
+        "mixture_sample": q_mixture_sample,
     }
 
 
@@ -1790,6 +1803,19 @@ _ORACLE["drift_nchars"] = """
                  * ln(greatest(cnt_a / na, 1e-6) / greatest(cnt_b / nb, 1e-6)), 6)
                AS psi_contrib
     FROM j, tot, params ORDER BY bin
+"""
+
+
+_ORACLE["mixture_sample"] = """
+    WITH q(lang, quota) AS (VALUES ('en', 40), ('fr', 20), ('es', 20)),
+    r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(doc_id::VARCHAR)) AS rk
+      FROM documents WHERE lang IN ('en', 'fr', 'es')
+    )
+    SELECT r.lang, r.doc_id FROM r JOIN q ON r.lang = q.lang
+    WHERE r.rk <= q.quota ORDER BY r.lang, r.doc_id
 """
 
 

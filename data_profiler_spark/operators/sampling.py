@@ -172,10 +172,23 @@ def _union_all(parts: list[DataFrame], base: DataFrame, out_cols: list[str]) -> 
     return out
 
 
+def _quota_expr(strata_col: str, quota: int | dict) -> Column:
+    """Per-row quota: a literal for the uniform case, a bounded
+    ``when``-chain for per-stratum quotas (strata are languages/domains —
+    a few dozen keys at most, so the expression stays tiny)."""
+    if not isinstance(quota, dict):
+        return F.lit(int(quota))
+    out = F.lit(0)
+    for s, n in quota.items():
+        cond = F.col(strata_col).isNull() if s is None else (F.col(strata_col) == s)
+        out = F.when(cond, F.lit(int(n))).otherwise(out)
+    return out
+
+
 def stratified_sample_exact(
     df: DataFrame,
     strata_col: str,
-    n_per_stratum: int,
+    n_per_stratum: int | dict,
     id_col: str = "doc_id",
     max_window_rows: int = 1_000_000,
 ) -> DataFrame:
@@ -183,7 +196,9 @@ def stratified_sample_exact(
     md5-hash rank of the id — deterministic, seedless, and uniform-ish
     (hash order is independent of any data column), unlike
     ``DataFrame.sampleBy`` which is probabilistic in both membership and
-    count.
+    count. ``n_per_stratum`` is a single quota or a ``{stratum: n}`` dict
+    (per-stratum quotas — the :func:`mixture_sample` building block;
+    strata absent from the dict get quota 0).
 
     Skew shape: the per-stratum ranking window funnels each stratum onto
     one task, so a corpus-dominating stratum (80% one language) would
@@ -198,6 +213,12 @@ def stratified_sample_exact(
     """
     hash_col = F.md5(F.col(id_col).cast("string"))
     w = Window.partitionBy(strata_col).orderBy(hash_col)
+    quota = _quota_expr(strata_col, n_per_stratum)
+
+    def n_of(s) -> int:
+        if isinstance(n_per_stratum, dict):
+            return int(n_per_stratum.get(s, 0))
+        return int(n_per_stratum)
 
     sizes = {
         r["s"]: r["c"]
@@ -209,7 +230,7 @@ def stratified_sample_exact(
     if not big:
         return (
             df.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= n_per_stratum)
+            .filter(F.col("_rk") <= quota)
             .drop("_rk")
         )
 
@@ -222,7 +243,7 @@ def stratified_sample_exact(
     space = 1 << _HASH_BITS
     # per-stratum threshold, doubled until every big stratum keeps >= n
     thresholds = {
-        s: min(space, max(1, (4 * n_per_stratum * space) // sizes[s])) for s in big
+        s: min(space, max(1, (4 * max(n_of(s), 1) * space) // sizes[s])) for s in big
     }
     while True:
         cond = None
@@ -238,7 +259,7 @@ def stratified_sample_exact(
         }
         short = [
             s for s in big
-            if got.get(s, 0) < min(n_per_stratum, sizes[s]) and thresholds[s] < space
+            if got.get(s, 0) < min(n_of(s), sizes[s]) and thresholds[s] < space
         ]
         if not short:
             break
@@ -247,14 +268,94 @@ def stratified_sample_exact(
 
     ranked_big = (
         survivors.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= n_per_stratum)
+        .filter(F.col("_rk") <= quota)
         .drop("_rk")
     )
     if small_part is None:
         return ranked_big
     ranked_small = (
         small_part.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= n_per_stratum)
+        .filter(F.col("_rk") <= quota)
         .drop("_rk")
     )
     return ranked_small.unionByName(ranked_big)
+
+
+def mixture_allocation(
+    sizes: dict, weights: dict, total: int
+) -> dict:
+    """Deterministic water-filling allocation of ``total`` rows across
+    strata toward target ``weights`` (need not sum to 1 — normalized over
+    the ACTIVE set each round), honoring per-stratum availability.
+
+    Each round distributes the remaining budget over unfilled strata by
+    largest-remainder apportionment (floor everyone, hand the leftover
+    units to the largest fractional parts; ties broken by stratum repr —
+    fully deterministic). Strata whose share exceeds their size clamp to
+    the size and leave the active set; their unused budget re-spreads
+    over the rest. Terminates in ≤ len(weights) rounds (every round
+    either finishes or clamps ≥ 1 stratum). Pure driver math over one
+    (stratum, count) row per stratum.
+    """
+    alloc = {s: 0 for s in weights if s in sizes and weights[s] > 0}
+    active = dict(alloc)
+    remaining = max(int(total), 0)
+    while active and remaining > 0:
+        wsum = sum(weights[s] for s in active)
+        shares = {s: remaining * weights[s] / wsum for s in active}
+        base = {s: int(shares[s]) for s in active}
+        leftover = remaining - sum(base.values())
+        order = sorted(active, key=lambda s: (-(shares[s] - base[s]), repr(s)))
+        for s in order[:leftover]:
+            base[s] += 1
+        clamped = [s for s in active if base[s] >= sizes[s] - alloc[s]]
+        if not clamped:
+            for s in active:
+                alloc[s] += base[s]
+            break
+        for s in clamped:
+            take = sizes[s] - alloc[s]
+            alloc[s] += take
+            remaining -= take
+            del active[s]
+    return alloc
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict,
+    total: int,
+    id_col: str = "doc_id",
+    max_window_rows: int = 1_000_000,
+) -> DataFrame:
+    """Sample a training mix: ``total`` rows distributed across strata
+    (domains / languages / sources) toward target ``weights`` — the
+    composition step after cleaning ("50% web, 25% code, 25% books"),
+    exact and deterministic where ``sampleBy`` is approximate in both
+    membership and count.
+
+    Allocation is :func:`mixture_allocation` (largest-remainder water-
+    filling over one tiny per-stratum count agg); selection is
+    :func:`stratified_sample_exact` with the per-stratum quota dict, so
+    membership is md5-hash-ranked and corpus-dominating strata keep the
+    hash-threshold skew path. Strata not in ``weights`` are excluded.
+    Returns exactly ``min(total, sum of weighted strata sizes)`` rows.
+    """
+    keyed = [s for s in weights if s is not None]
+    cond = F.col(strata_col).isin(*keyed) if keyed else F.lit(False)
+    if None in weights:
+        cond = cond | F.col(strata_col).isNull()
+    pool = df.filter(cond)
+    sizes = {
+        r["s"]: r["c"]
+        for r in pool.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    alloc = mixture_allocation(sizes, weights, total)
+    if not alloc:
+        return pool.limit(0)
+    return stratified_sample_exact(
+        pool, strata_col, alloc, id_col=id_col, max_window_rows=max_window_rows
+    )
