@@ -173,9 +173,10 @@ def _union_all(parts: list[DataFrame], base: DataFrame, out_cols: list[str]) -> 
 
 
 def _quota_expr(strata_col: str, quota: int | dict) -> Column:
-    """Per-row quota: a literal for the uniform case, a bounded
-    ``when``-chain for per-stratum quotas (strata are languages/domains —
-    a few dozen keys at most, so the expression stays tiny)."""
+    """Per-row quota: a literal for the uniform case, a ``when``-chain for
+    small per-stratum dicts (languages/sources). Large dicts go through
+    the broadcast-join path in :func:`_ranked_quota_filter` instead — a
+    10^5-domain when-chain would be a 10^5-node codegen expression."""
     if not isinstance(quota, dict):
         return F.lit(int(quota))
     out = F.lit(0)
@@ -183,6 +184,35 @@ def _quota_expr(strata_col: str, quota: int | dict) -> Column:
         cond = F.col(strata_col).isNull() if s is None else (F.col(strata_col) == s)
         out = F.when(cond, F.lit(int(n))).otherwise(out)
     return out
+
+
+# Above this many strata the per-row quota switches from a when-chain
+# expression to a broadcast quota-table join (per-DOMAIN mixtures can
+# carry 10^5+ strata; expression trees that size break codegen).
+QUOTA_WHEN_CHAIN_MAX = 64
+
+
+def _ranked_quota_filter(
+    part: DataFrame, strata_col: str, n_per_stratum: int | dict, w
+) -> DataFrame:
+    """row_number-rank ``part`` within each stratum and keep rows within
+    their stratum's quota; original columns/order preserved."""
+    ranked = part.withColumn("_rk", F.row_number().over(w))
+    if not isinstance(n_per_stratum, dict) or len(n_per_stratum) <= QUOTA_WHEN_CHAIN_MAX:
+        return ranked.filter(
+            F.col("_rk") <= _quota_expr(strata_col, n_per_stratum)
+        ).drop("_rk")
+    none_q = int(n_per_stratum.get(None, 0))
+    items = [(s, int(n)) for s, n in n_per_stratum.items() if s is not None]
+    qdf = part.sparkSession.createDataFrame(items, [strata_col, "_q"])
+    quota = F.when(F.col(strata_col).isNull(), F.lit(none_q)).otherwise(
+        F.coalesce(F.col("_q"), F.lit(0))
+    )
+    return (
+        ranked.join(F.broadcast(qdf), strata_col, "left")
+        .filter(F.col("_rk") <= quota)
+        .select(*part.columns)
+    )
 
 
 def stratified_sample_exact(
@@ -213,7 +243,6 @@ def stratified_sample_exact(
     """
     hash_col = F.md5(F.col(id_col).cast("string"))
     w = Window.partitionBy(strata_col).orderBy(hash_col)
-    quota = _quota_expr(strata_col, n_per_stratum)
 
     def n_of(s) -> int:
         if isinstance(n_per_stratum, dict):
@@ -228,11 +257,7 @@ def stratified_sample_exact(
     }
     big = {s for s, c in sizes.items() if c > max_window_rows}
     if not big:
-        return (
-            df.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= quota)
-            .drop("_rk")
-        )
+        return _ranked_quota_filter(df, strata_col, n_per_stratum, w)
 
     small_part = (
         df.filter(F.col(strata_col).isNull() | ~F.col(strata_col).isin(*big))
@@ -266,18 +291,10 @@ def stratified_sample_exact(
         for s in short:
             thresholds[s] = min(space, thresholds[s] * 2)
 
-    ranked_big = (
-        survivors.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= quota)
-        .drop("_rk")
-    )
+    ranked_big = _ranked_quota_filter(survivors, strata_col, n_per_stratum, w)
     if small_part is None:
         return ranked_big
-    ranked_small = (
-        small_part.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= quota)
-        .drop("_rk")
-    )
+    ranked_small = _ranked_quota_filter(small_part, strata_col, n_per_stratum, w)
     return ranked_small.unionByName(ranked_big)
 
 

@@ -75,3 +75,26 @@ def test_mixture_sample_clamps_scarce_stratum(spark):
         for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()
     }
     assert got == {"rare": 5, "big": 35}  # rare clamps, big absorbs the rest
+
+
+def test_quota_dict_broadcast_path_many_strata(spark):
+    """Above QUOTA_WHEN_CHAIN_MAX strata the quota becomes a broadcast
+    join, not a giant when-chain expression — and picks the same rows."""
+    from data_profiler_spark.operators.sampling import QUOTA_WHEN_CHAIN_MAX
+
+    n_strata = QUOTA_WHEN_CHAIN_MAX + 36
+    rows = [(s * 1000 + i, f"d{s}") for s in range(n_strata) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    quotas = {f"d{s}": (s % 3) + 1 for s in range(n_strata)}
+    out = stratified_sample_exact(df, "lang", quotas)
+    got = {
+        r["lang"]: r["c"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert got == quotas
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # small dicts keep the expression path (no join)
+    small = stratified_sample_exact(df.filter(F.col("lang").isin("d0", "d1")), "lang", {"d0": 2, "d1": 3})
+    small_plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in small_plan
