@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "user_sessions",
     "line_dedup_docs",
     "token_budget_sample",
+    "html_extract_roundtrip",
+    "incremental_dedup",
     "quality_score_by_source",
 ]
 
