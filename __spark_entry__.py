@@ -908,6 +908,30 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lang", "doc_id").orderBy("lang", "doc_id")
 
 
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/drift.py::threshold_sweep — gate-calibration table: exact
+    keep counts for four candidate quality thresholds from ONE scan."""
+    from data_profiler_spark.functions.textanalysis import quality_score_expr
+    from data_profiler_spark.operators.drift import threshold_sweep
+
+    docs = _t(spark, sf_dir, "documents")
+    return threshold_sweep(docs, quality_score_expr(F.col("text")), [0.25, 0.5, 0.75, 0.9])
+
+
+def q_normalize_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/textanalysis.py::normalize_text_expr — whitespace/control
+    normalization chain: per-source docs changed + normalized length."""
+    from data_profiler_spark.functions.textanalysis import normalize_text_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    n = normalize_text_expr(F.col("text"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum((n != F.col("text")).cast("long")).alias("changed"),
+        F.sum(F.length(n)).cast("long").alias("norm_chars"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_nchars": q_profile_nchars,
@@ -963,6 +987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "drift_nchars": q_drift_nchars,
         "mixture_sample": q_mixture_sample,
+        "threshold_sweep": q_threshold_sweep,
+        "normalize_text_stats": q_normalize_text_stats,
     }
 
 
@@ -1816,6 +1842,53 @@ _ORACLE["mixture_sample"] = """
     )
     SELECT r.lang, r.doc_id FROM r JOIN q ON r.lang = q.lang
     WHERE r.rk <= q.quota ORDER BY r.lang, r.doc_id
+"""
+
+
+_ORACLE["threshold_sweep"] = f"""
+    WITH t AS (
+      SELECT source,
+             list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks,
+             len(regexp_extract_all(text, '{_PUNCT_RE_SQL}')) AS punct
+      FROM documents
+    ), sc AS (
+      SELECT round((
+          (CASE WHEN len(toks) BETWEEN 10 AND 20000 THEN 1.0 ELSE 0.0 END)
+          + least(len(list_intersect({_STOP10_SQL}, list_transform(toks, x -> lower(x))))::DOUBLE / 5.0, 1.0)
+          + (CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / len(toks)
+                  ELSE 0.0 END)
+          + greatest(0.0, 1.0 - (CASE WHEN len(toks) > 0 THEN punct::DOUBLE / len(toks) ELSE 1.0 END))
+        ) / 4.0, 6) AS score
+      FROM t
+    ), th(threshold) AS (VALUES (0.25), (0.5), (0.75), (0.9))
+    SELECT th.threshold::DOUBLE AS threshold,
+           sum(CASE WHEN score >= th.threshold THEN 1 ELSE 0 END)::BIGINT AS kept,
+           count(*) AS total,
+           round(sum(CASE WHEN score >= th.threshold THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS keep_rate
+    FROM sc, th GROUP BY th.threshold ORDER BY threshold
+"""
+
+
+def _normalize_sql(col: str) -> str:
+    """DuckDB chain mirroring textanalysis.normalize_text_expr, generated
+    from the same NORMALIZE_STEPS constants."""
+    from data_profiler_spark.functions import textanalysis as TA
+
+    out = col
+    for pat, rep in TA.NORMALIZE_STEPS:
+        rep_sql = rep.replace("'", "''")
+        out = f"regexp_replace({out}, '{pat}', '{rep_sql}', 'g')"
+    return out
+
+
+_ORACLE["normalize_text_stats"] = f"""
+    WITH n AS (SELECT source, text, {_normalize_sql("text")} AS nt FROM documents)
+    SELECT source, count(*) AS docs,
+           sum(CASE WHEN nt <> text THEN 1 ELSE 0 END)::BIGINT AS changed,
+           sum(length(nt))::BIGINT AS norm_chars
+    FROM n GROUP BY source
 """
 
 

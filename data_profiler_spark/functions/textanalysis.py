@@ -102,3 +102,31 @@ def chargram_minhash_fingerprint_expr(c: Column, n: int = 5, k: int = 4) -> Colu
     )
     hashes = F.array_sort(F.array_distinct(F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16))))
     return F.concat_ws("|", F.slice(hashes, 1, k))
+
+
+# normalization chain shared (pattern-for-pattern) with the DuckDB oracle;
+# explicit ASCII classes per the CLAUDE.md Java-regex/RE2 parity rule
+NORMALIZE_STEPS: tuple[tuple[str, str], ...] = (
+    ("\\r\\n|\\r", "\n"),                                   # CRLF/CR → LF
+    ("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),        # control chars (keep \t \n)
+    ("[ \\t]{2,}", " "),                                    # collapse space/tab runs
+    ("\\n{3,}", "\n\n"),                                    # ≥3 newlines → paragraph break
+    ("^[ \\t\\n]+|[ \\t\\n]+$", ""),                        # trim outer whitespace
+)
+
+
+def normalize_text_expr(c: Column) -> Column:
+    """Canonical text cleanup before tokenization/dedup: line-ending
+    normalization, control-char strip, intra-line whitespace collapse,
+    paragraph-run collapse, outer trim — five ``regexp_replace`` steps
+    fused into one projection (pure JVM, scan-stage). Normalizing BEFORE
+    hashing/shingling makes exact and near-dup keys insensitive to
+    whitespace-only variation between crawls of the same page — run it
+    ahead of ``operators/dedup`` when crawl hygiene varies. NOT applied
+    inside the scoring pipeline by default: the north-rule scrub contract
+    is byte-identical output, so normalization is an explicit opt-in
+    stage, never a silent default."""
+    out = c
+    for pat, rep in NORMALIZE_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return out

@@ -171,3 +171,42 @@ def drift_summary(
         F.round(psi, round_to).alias("psi"),
         F.round(tvd, round_to).alias("tvd"),
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score,
+    thresholds: list[float],
+    round_to: int = 6,
+) -> DataFrame:
+    """Keep-rate sensitivity of a gating threshold: one row per candidate
+    threshold — ``(threshold, kept, total, keep_rate)`` — from ONE scan
+    and one single-row aggregate (every threshold is a conditional sum in
+    the same agg; the explode that reshapes wide→long touches one row).
+    The calibration companion of :func:`distribution_drift`: before
+    moving a quality gate, sweep it and read how much corpus each setting
+    keeps."""
+    ts = [float(t) for t in thresholds]
+    aggs = [F.count(F.lit(1)).alias("_total")] + [
+        F.sum((score >= F.lit(t)).cast("long")).alias(f"_k{i}") for i, t in enumerate(ts)
+    ]
+    row = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(t).alias("threshold"), F.col(f"_k{i}").alias("kept"))
+            for i, t in enumerate(ts)
+        ]
+    )
+    return (
+        row.select(F.col("_total").alias("total"), F.explode(pairs).alias("s"))
+        .select(
+            F.col("s.threshold").alias("threshold"),
+            F.col("s.kept").alias("kept"),
+            "total",
+            F.round(
+                F.when(F.col("total") > 0, F.col("s.kept") / F.col("total")).otherwise(0.0),
+                round_to,
+            ).alias("keep_rate"),
+        )
+        .orderBy("threshold")
+    )

@@ -64,3 +64,41 @@ def test_token_budget_sample_property(spark, rows, budget):
         cum += t
         want.add(i)
     assert got == want
+
+
+def test_normalize_text_matches_python_reference(spark):
+    import re
+
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.functions.textanalysis import (
+        NORMALIZE_STEPS,
+        normalize_text_expr,
+    )
+
+    def py_norm(s: str) -> str:
+        for pat, rep in NORMALIZE_STEPS:
+            s = re.sub(pat.replace("\\\\", "\\"), rep, s)
+        return s
+
+    cases = [
+        "a\r\nb\rc\nd",                      # mixed line endings
+        "col1\tcol2   col3\t\t tabs",        # space/tab runs
+        "p1\n\n\n\n\np2",                    # paragraph run
+        "  \n\t lead and trail \n\n",        # outer whitespace
+        "ctrl\x00\x01\x08\x0b\x0c\x1f\x7fchars",
+        "already clean\nsecond line",
+        "",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, t string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", normalize_text_expr(F.col("t")).alias("n")).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == py_norm(c), repr(c)
+    assert got[0] == "a\nb\nc\nd"
+    assert got[1] == "col1\tcol2 col3 tabs"  # runs (incl. mixed tab+space) collapse; lone tab kept
+    assert got[2] == "p1\n\np2"
+    assert got[3] == "lead and trail"
+    assert got[4] == "ctrlchars"

@@ -72,3 +72,29 @@ def test_drift_null_and_empty_bins(spark):
     rows = distribution_drift(a, b, "v", bins=4).collect()
     assert len(rows) == 4  # every bin present even when both sides empty
     assert sum(r["cnt_a"] for r in rows) == 2  # null excluded
+
+
+def test_threshold_sweep_single_pass(documents):
+    from data_profiler_spark.operators.drift import threshold_sweep
+    from data_profiler_spark.functions.textanalysis import quality_score_expr
+
+    ts = [0.25, 0.5, 0.75, 0.9]
+    out = threshold_sweep(documents, quality_score_expr(F.col("text")), ts)
+    rows = out.collect()
+    assert [r["threshold"] for r in rows] == ts
+    total = documents.count()
+    # keep-rate is monotone non-increasing in the threshold and exact
+    kept = [r["kept"] for r in rows]
+    assert kept == sorted(kept, reverse=True)
+    for r in rows:
+        assert r["total"] == total
+        assert abs(r["keep_rate"] - r["kept"] / total) < 1e-6
+    # cross-check one threshold against a direct count
+    direct = documents.filter(quality_score_expr(F.col("text")) >= 0.75).count()
+    assert rows[2]["kept"] == direct
+    # one scan: the plan has exactly one aggregate pair over the input
+    # (AQE toString repeats the plan under '== Initial Plan ==' — count
+    # scans only in the final section)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1

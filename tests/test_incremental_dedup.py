@@ -54,6 +54,9 @@ def test_incremental_dedup_precomputed_hashes_match(spark):
 def test_incremental_dedup_plan_shape(documents, spark):
     """Anti join (never a filter-collect), and the corpus scan reads only
     the text column it hashes — 100 TB of other columns stay unread."""
+    # other suites cache a DF with this exact parquet lineage; drop cached
+    # plans so the scan (and its ReadSchema) is what this test inspects
+    spark.catalog.clearCache()
     corpus = documents.filter(F.col("doc_id") % 5 == 0)
     new = documents.filter(F.col("doc_id") % 5 != 0)
     out = incremental_dedup(new, corpus)
