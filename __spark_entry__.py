@@ -1676,13 +1676,14 @@ _ORACLE.update(
               FROM base
             ), k AS (
               SELECT doc_id, pos, line,
-                     row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+                     (length(line) < 5 OR
+                      row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) = 1) AS keep
               FROM l
             )
             SELECT doc_id,
-                   coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE rn = 1), '') AS clean_text,
-                   count(*) FILTER (WHERE rn = 1) AS lines_kept,
-                   count(*) FILTER (WHERE rn > 1) AS lines_dropped
+                   coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS clean_text,
+                   count(*) FILTER (WHERE keep) AS lines_kept,
+                   count(*) FILTER (WHERE NOT keep) AS lines_dropped
             FROM k GROUP BY doc_id ORDER BY doc_id
         """,
         "contamination_screen": """
@@ -1795,7 +1796,7 @@ _ORACLE["incremental_dedup"] = """
     )
     SELECT doc_id, h AS content_hash
     FROM n
-    WHERE rk = 1 AND NOT EXISTS (SELECT 1 FROM c WHERE c.h = n.h)
+    WHERE rk = 1 AND NOT EXISTS (SELECT 1 FROM c WHERE c.h IS NOT DISTINCT FROM n.h)
     ORDER BY doc_id
 """
 

@@ -301,7 +301,7 @@ def csv_row_errors(
         # non-empty sentinel, not deletion: the trailing-trim logic below
         # must see quoted fields as occupied (reference ingest.py:868-878
         # trims only genuinely-empty trailing fields)
-        line = F.regexp_replace(line, '"([^"]|"")*"', "")
+        line = F.regexp_replace(line, '"([^"]|"")*"', "\x01")
     fields = F.split(line, _re.escape(delimiter), -1)
     n = F.size(fields)
     nonempty_pos = F.filter(

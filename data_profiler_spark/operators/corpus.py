@@ -158,6 +158,7 @@ def line_dedup_within_doc(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_chars: int = DEFAULT_LINE_MIN_CHARS,
 ) -> DataFrame:
     """Per-document line dedup: each line survives only at its FIRST
     occurrence within its own document (repeated boilerplate inside one
@@ -165,11 +166,15 @@ def line_dedup_within_doc(
     it is a pure narrow map — ZERO shuffles, pushdown-transparent, and
     composes into any scoring pipeline for free.
 
-    Keep rule: line *i* kept iff ``array_position(lines, lines[i]) ==
-    i+1`` (first index of that exact text). ``array_position`` is O(L)
-    per line → O(L²) per doc in line count — fine for real documents
-    (hundreds of lines); corpus-wide repetition is the scale problem and
-    lives in :func:`line_dedup`.
+    Keep rule: line *i* kept iff it is structural (shorter than
+    ``min_chars`` — blank paragraph separators, "-" rules, headers; the
+    same exemption as :func:`line_dedup`, without which every multi-
+    paragraph document would lose its blank separators and silently
+    reflow) or ``array_position(lines, lines[i]) == i+1`` (first index
+    of that exact text). ``array_position`` is O(L) per line → O(L²) per
+    doc in line count — fine for real documents (hundreds of lines);
+    corpus-wide repetition is the scale problem and lives in
+    :func:`line_dedup`.
 
     Returns ``(id, clean_text, lines_kept, lines_dropped)`` — same shape
     as :func:`line_dedup`; null text stays null.
@@ -178,7 +183,8 @@ def line_dedup_within_doc(
     base = df.select(F.col(id_col), lines.alias("_ls"))
     kept = F.filter(
         F.transform(F.col("_ls"), lambda x, i: F.struct(x.alias("l"), i.alias("p"))),
-        lambda s: F.array_position(F.col("_ls"), s["l"]) == s["p"] + 1,
+        lambda s: (F.length(s["l"]) < min_chars)
+        | (F.array_position(F.col("_ls"), s["l"]) == s["p"] + 1),
     )
     marked = base.select(
         F.col(id_col),

@@ -59,12 +59,19 @@ def _widen(df: DataFrame) -> DataFrame:
     (``inputFiles()`` + local file sizes / 128 MB split budget) over
     ``df.rdd.getNumPartitions()`` — the RDD conversion builds the whole
     physical plan per call and pins it pre-AQE (round-2 nit); the metadata
-    path is a pure catalog lookup. Non-local / non-file plans fall back to
-    the RDD check unchanged."""
+    path is a pure catalog lookup. It is only trusted when the LOGICAL
+    plan cannot have shrunk the scan's partitioning (an explicit
+    ``coalesce(1)``/``repartition(2)``/``limit`` below the caller would
+    make file counts overstate parallelism and skip the widening this
+    function exists for); such plans — and non-local / non-file ones —
+    fall back to the RDD check unchanged."""
     target = df.sparkSession.sparkContext.defaultParallelism
     splits: int | None = None
     try:
         files = df.inputFiles()
+        lp = df._jdf.queryExecution().logical().toString()
+        if "Repartition" in lp or "GlobalLimit" in lp:
+            files = []
     except Exception:
         files = []
     if files and all(f.startswith("file:") for f in files):
@@ -682,7 +689,14 @@ def corpus_content_hashes(corpus: DataFrame, text_col: str = "text") -> DataFram
     bloom-filtered on ``content_hash``), appended after every accepted
     batch, so each new crawl joins against hashes without rescanning
     100 TB of text — only the hash column is read (column pruning) even
-    when derived from the full corpus directly."""
+    when derived from the full corpus directly.
+
+    Hash choice: sha256, matching :func:`exact_dedup` (the same content
+    identity across one-shot and incremental dedup). This deviates from
+    the CLAUDE.md md5 default deliberately — that rule exists for hash-
+    ORDER arithmetic (lexicographic = numeric prefix tricks); a persisted
+    corpus-wide content-identity table wants the collision margin of 256
+    bits, and both engines ship sha256, so the oracle still runs."""
     return (
         corpus.select(F.sha2(F.col(text_col).cast("string"), 256).alias("content_hash"))
         .distinct()
@@ -716,14 +730,18 @@ def incremental_dedup(
     Returns the surviving rows of ``new_df``, all original columns plus
     ``content_hash`` (callers append exactly this column to the
     maintained hash table after accepting the batch — lineage-complete).
-    Null texts hash like any other value (sha2 of the empty cast) so the
-    keep-first rule applies to them too, matching the oracle.
+    Null texts hash to a NULL content_hash; the within-batch window
+    groups them (NULL is a window partition value) and the anti join is
+    NULL-SAFE (``<=>``), so a corpus that already holds a null-text doc
+    rejects new ones — without the null-safe condition a null key never
+    matches and one null-text doc would slip through on EVERY crawl
+    cycle. The oracle mirrors this with ``IS NOT DISTINCT FROM``.
     """
     hashes = (
         corpus.select(F.col("content_hash"))
         if corpus_is_hashes
         else corpus_content_hashes(corpus, text_col)
-    )
+    ).alias("_corpus")
     w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
     batch = (
         new_df.withColumn(
@@ -732,5 +750,7 @@ def incremental_dedup(
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .drop("_rk")
+        .alias("_batch")
     )
-    return batch.join(hashes, "content_hash", "left_anti")
+    cond = F.col("_batch.content_hash").eqNullSafe(F.col("_corpus.content_hash"))
+    return batch.join(hashes, cond, "left_anti")

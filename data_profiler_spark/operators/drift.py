@@ -41,8 +41,10 @@ def _resolve_bounds(
             df_b.select(F.col(col).alias("_x"))
         )
         r = both.agg(F.min("_x").alias("mn"), F.max("_x").alias("mx")).collect()[0]
-        lo = float(r["mn"]) if lo is None else lo
-        hi = float(r["mx"]) if hi is None else hi
+        # empty / all-null snapshots have no bounds; [0, 1] keeps every
+        # downstream expression defined (all counts are zero anyway)
+        lo = (float(r["mn"]) if r["mn"] is not None else 0.0) if lo is None else lo
+        hi = (float(r["mx"]) if r["mx"] is not None else 1.0) if hi is None else hi
     return lo, hi
 
 
@@ -76,10 +78,45 @@ def distribution_drift(
     the standard smoothing, kept identical in the oracle so the numbers
     hash-match. Sum ``psi_contrib`` for the index (:func:`drift_summary`
     does, plus TVD)."""
+    lo, hi, width, j = _joined_bins(df_a, df_b, col, bins, lo, hi)
+    tot = j.select(
+        "*",
+        F.sum("cnt_a").over(_all()).alias("_na"),
+        F.sum("cnt_b").over(_all()).alias("_nb"),
+    )
+    # an EMPTY snapshot (n=0) yields p=0 for every bin rather than an
+    # ANSI divide-by-zero; the eps clamp then gives the maximal defined
+    # PSI signal — "all content appeared/vanished"
+    raw_pa = F.when(F.col("_na") > 0, F.col("cnt_a") / F.col("_na")).otherwise(F.lit(0.0))
+    raw_pb = F.when(F.col("_nb") > 0, F.col("cnt_b") / F.col("_nb")).otherwise(F.lit(0.0))
+    pa = F.greatest(raw_pa, F.lit(PSI_EPS))
+    pb = F.greatest(raw_pb, F.lit(PSI_EPS))
+    return tot.select(
+        "bin",
+        F.round(F.lit(lo) + F.col("bin") * F.lit(width), round_to).alias("bin_lo"),
+        F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), round_to).alias("bin_hi"),
+        "cnt_a",
+        "cnt_b",
+        F.round(raw_pa, round_to).alias("p_a"),
+        F.round(raw_pb, round_to).alias("p_b"),
+        F.round((pa - pb) * F.log(pa / pb), round_to).alias("psi_contrib"),
+    ).orderBy("bin")
+
+
+def _joined_bins(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    bins: int,
+    lo: float | None,
+    hi: float | None,
+) -> tuple[float, float, float, DataFrame]:
+    """Shared construction for both drift entry points: resolved bounds,
+    bin width, and the dense per-bin (bin, cnt_a, cnt_b) frame — one
+    place to fix binning for both the table and the summary."""
     lo, hi = _resolve_bounds(df_a, df_b, col, lo, hi)
     width = (hi - lo) / bins if hi > lo else 1.0
-    spark = df_a.sparkSession
-    grid = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    grid = df_a.sparkSession.range(bins).select(F.col("id").cast("int").alias("bin"))
     ca = _bin_counts(df_a, col, lo, width, bins).withColumnRenamed("cnt", "cnt_a")
     cb = _bin_counts(df_b, col, lo, width, bins).withColumnRenamed("cnt", "cnt_b")
     j = (
@@ -91,23 +128,7 @@ def distribution_drift(
             F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
         )
     )
-    tot = j.select(
-        "*",
-        F.sum("cnt_a").over(_all()).alias("_na"),
-        F.sum("cnt_b").over(_all()).alias("_nb"),
-    )
-    pa = F.greatest(F.col("cnt_a") / F.col("_na"), F.lit(PSI_EPS))
-    pb = F.greatest(F.col("cnt_b") / F.col("_nb"), F.lit(PSI_EPS))
-    return tot.select(
-        "bin",
-        F.round(F.lit(lo) + F.col("bin") * F.lit(width), round_to).alias("bin_lo"),
-        F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), round_to).alias("bin_hi"),
-        "cnt_a",
-        "cnt_b",
-        F.round(F.col("cnt_a") / F.col("_na"), round_to).alias("p_a"),
-        F.round(F.col("cnt_b") / F.col("_nb"), round_to).alias("p_b"),
-        F.round((pa - pb) * F.log(pa / pb), round_to).alias("psi_contrib"),
-    ).orderBy("bin")
+    return lo, hi, width, j
 
 
 def _all():
@@ -130,21 +151,7 @@ def drift_summary(
     """One-row drift verdict: ``(n_a, n_b, psi, tvd)`` — PSI summed over
     unrounded per-bin contributions (rounded once here) and
     total-variation distance ``0.5 * sum(|p_a - p_b|)``."""
-    lo, hi = _resolve_bounds(df_a, df_b, col, lo, hi)
-    width = (hi - lo) / bins if hi > lo else 1.0
-    spark = df_a.sparkSession
-    grid = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
-    ca = _bin_counts(df_a, col, lo, width, bins).withColumnRenamed("cnt", "cnt_a")
-    cb = _bin_counts(df_b, col, lo, width, bins).withColumnRenamed("cnt", "cnt_b")
-    j = (
-        grid.join(ca, "bin", "left")
-        .join(cb, "bin", "left")
-        .select(
-            "bin",
-            F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
-            F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
-        )
-    )
+    _, _, _, j = _joined_bins(df_a, df_b, col, bins, lo, hi)
     # array_sort pins the FP summation order to bin order — collect_list
     # after a join is otherwise nondeterministically ordered and the
     # rounded PSI could flap between runs
@@ -153,8 +160,12 @@ def drift_summary(
         F.sum("cnt_b").alias("_nb"),
         F.array_sort(F.collect_list(F.struct("bin", "cnt_a", "cnt_b"))).alias("_bins"),
     )
-    pa = lambda s: F.greatest(s["cnt_a"] / F.col("_na"), F.lit(PSI_EPS))  # noqa: E731
-    pb = lambda s: F.greatest(s["cnt_b"] / F.col("_nb"), F.lit(PSI_EPS))  # noqa: E731
+
+    def raw_p(cnt, n):  # empty snapshot → p = 0, never a divide-by-zero
+        return F.when(n > 0, cnt / n).otherwise(F.lit(0.0))
+
+    pa = lambda s: F.greatest(raw_p(s["cnt_a"], F.col("_na")), F.lit(PSI_EPS))  # noqa: E731
+    pb = lambda s: F.greatest(raw_p(s["cnt_b"], F.col("_nb")), F.lit(PSI_EPS))  # noqa: E731
     psi = F.aggregate(
         F.col("_bins"),
         F.lit(0.0),
@@ -163,7 +174,8 @@ def drift_summary(
     tvd = F.aggregate(
         F.col("_bins"),
         F.lit(0.0),
-        lambda acc, s: acc + F.abs(s["cnt_a"] / F.col("_na") - s["cnt_b"] / F.col("_nb")),
+        lambda acc, s: acc
+        + F.abs(raw_p(s["cnt_a"], F.col("_na")) - raw_p(s["cnt_b"], F.col("_nb"))),
     ) / 2
     return tot.select(
         F.col("_na").cast("long").alias("n_a"),

@@ -83,6 +83,8 @@ def token_budget_sample(
     which stays exact because zoom and the final sort use the raw
     priority, not the bin.
     """
+    if not (float(hi) > float(lo)):
+        raise ValueError("token_budget_sample needs hi > lo (a zero-width priority range cannot bin)")
     prio = F.coalesce(priority.cast("double"), F.lit(float(lo)))
     base = df.select(
         F.col(id_col),
@@ -129,9 +131,13 @@ def token_budget_sample(
         full_keys: list[int] = []
         boundary_key: int | None = None
         for k in sorted(hist, reverse=descending):
-            if cum + hist[k]["total"] <= budget_left:
+            # a bin of all-NULL token counts sums to None; NULL tokens
+            # consume no budget (same as the oracle's SUM, which skips
+            # NULLs in the running total)
+            bin_total = hist[k]["total"] or 0
+            if cum + bin_total <= budget_left:
                 full_keys.append(k)
-                cum += hist[k]["total"]
+                cum += bin_total
             else:
                 boundary_key = k
                 break
@@ -259,11 +265,25 @@ def stratified_sample_exact(
     if not big:
         return _ranked_quota_filter(df, strata_col, n_per_stratum, w)
 
-    small_part = (
-        df.filter(F.col(strata_col).isNull() | ~F.col(strata_col).isin(*big))
-        if len(big) < len(sizes)
-        else None
-    )
+    # NULL-safe stratum routing: a NULL stratum can itself be big (lang
+    # unknown dominates real web corpora), and `~isin(...)` over a set
+    # containing None is NULL-poisoned for EVERY non-matching row — both
+    # would silently drop strata, so matching is built per stratum.
+    def match(s) -> Column:
+        return F.col(strata_col).isNull() if s is None else (F.col(strata_col) == s)
+
+    non_null_big = [s for s in big if s is not None]
+    if len(big) < len(sizes):
+        small_cond = (
+            ~F.coalesce(F.col(strata_col).isin(*non_null_big), F.lit(False))
+            if non_null_big
+            else F.lit(True)
+        )
+        if None in big:
+            small_cond = small_cond & F.col(strata_col).isNotNull()
+        small_part = df.filter(small_cond)
+    else:
+        small_part = None
     hash_key = F.conv(F.substring(hash_col, 1, _HASH_BITS // 4), 16, 10).cast("long")
     space = 1 << _HASH_BITS
     # per-stratum threshold, doubled until every big stratum keeps >= n
@@ -273,7 +293,7 @@ def stratified_sample_exact(
     while True:
         cond = None
         for s in big:
-            c = (F.col(strata_col) == s) & (hash_key < thresholds[s])
+            c = match(s) & (hash_key < thresholds[s])
             cond = c if cond is None else (cond | c)
         survivors = df.filter(cond)
         got = {

@@ -341,6 +341,7 @@ def principal_directions(
 
     from pyspark.sql import types as T
 
+    df = df.filter(F.col(vec_col).isNotNull())
     n_dim = dim
     if n_dim is None:
         first = df.select(vec_col).first()
@@ -496,7 +497,10 @@ def embedding_near_dup_pairs(
     grid, same directions — the analog of ``dedup.shingle_df_report``).
 
     Pass ``dim=`` when known (skips a ``first()`` driver job); an empty
-    input returns an empty pairs DataFrame either way. Pruning power also
+    input returns an empty pairs DataFrame either way. NULL embeddings
+    are dropped up front: they can never pass the cosine filter, but
+    left in they all share one grid cell key (``concat_ws`` skips
+    NULLs), joining every null pair 3^m times for nothing. Pruning power also
     scales with the threshold: at near-dup thresholds (t >= 0.9, w <= 0.45)
     cells are narrow; at low thresholds the grid degrades gracefully toward
     all-pairs — which is the true output size anyway. ``method='exact'``
@@ -518,6 +522,7 @@ def embedding_near_dup_pairs(
     the exact join in tests (planted near-dups), the reference recall
     contract of the MinHash path applied to embeddings.
     """
+    df = df.filter(F.col(vec_col).isNotNull())
     base = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
     if method == "exact":
         a = base.select(F.col("_id").alias("id1"), F.col("_v").alias("_v1"))
@@ -700,7 +705,9 @@ def grid_occupancy_report(
     ``total_pairs`` (n·(n-1)/2) and ``blocking_factor`` =
     candidate_pairs / total_pairs (1.0 = degraded to all-pairs). Uses the
     same directions/width resolution as the pairs function, so the numbers
-    are exact for the run they predict."""
+    are exact for the run they predict. NULL embeddings are excluded,
+    matching the pairs function."""
+    df = df.filter(F.col(vec_col).isNotNull())
     grid = _resolve_grid(df, threshold, vec_col, n_projections, seed, dim, directions, direction_mode)
     spark = df.sparkSession
     if grid is None:

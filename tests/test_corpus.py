@@ -94,6 +94,8 @@ def test_line_dedup_within_doc(spark):
         (1, "repeat me\nother text"),  # cross-doc repeats are NOT deduped
         (2, ""),
         (3, None),
+        (4, "para one\n\npara two\n\npara three"),  # blank separators survive
+        (5, "-\nlist body\n-\nmore body\n-"),  # short structural lines exempt
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {
@@ -104,6 +106,8 @@ def test_line_dedup_within_doc(spark):
     assert got[1] == ("repeat me\nother text", 2, 0)
     assert got[2] == ("", 1, 0)
     assert got[3] == (None, 0, 0)
+    assert got[4] == ("para one\n\npara two\n\npara three", 5, 0)
+    assert got[5] == ("-\nlist body\n-\nmore body\n-", 5, 0)
     # narrow map: no exchange in the plan
     plan = corpus.line_dedup_within_doc(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan

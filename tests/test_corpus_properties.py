@@ -17,10 +17,10 @@ _LINE = st.text(alphabet="ab X-", min_size=0, max_size=8)
 _TEXT = st.lists(_LINE, min_size=1, max_size=6).map(lambda ls: "\n".join(ls))
 
 
-def _py_within(text):
+def _py_within(text, min_chars=5):
     seen, kept, dropped = set(), [], 0
     for line in text.split("\n"):
-        if line in seen:
+        if len(line) >= min_chars and line in seen:
             dropped += 1
         else:
             seen.add(line)

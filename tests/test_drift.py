@@ -98,3 +98,16 @@ def test_threshold_sweep_single_pass(documents):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 1
+
+
+def test_drift_defined_on_empty_and_allnull_sides(spark, documents):
+    from data_profiler_spark.operators.drift import drift_summary
+
+    empty = documents.filter(F.lit(False))
+    s = drift_summary(documents, empty, "n_chars", bins=10).collect()[0]
+    assert s["n_b"] == 0 and s["psi"] > 0.25  # content vanished = max signal
+    rows = distribution_drift(empty, documents, "n_chars", bins=10).collect()
+    assert len(rows) == 10 and all(r["p_a"] == 0.0 for r in rows)
+    allnull = spark.createDataFrame([(None,), (None,)], "v double")
+    s2 = drift_summary(allnull, allnull, "v", bins=4).collect()[0]
+    assert (s2["n_a"], s2["n_b"], s2["psi"], s2["tvd"]) == (0, 0, 0.0, 0.0)

@@ -68,3 +68,14 @@ def test_incremental_dedup_plan_shape(documents, spark):
     # corpus side: only the filter key + the hashed text column — lang/
     # source/n_chars (100 TB of payload at scale) never leave the scan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in reads, reads
+
+
+def test_incremental_dedup_null_text_null_safe(spark):
+    """sha2(NULL) is NULL; the anti join must be null-safe or one
+    null-text doc slips through on every crawl cycle."""
+    corpus = spark.createDataFrame([(1, None), (2, "x")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, None), (11, None), (12, "y")], "doc_id long, text string"
+    )
+    out = incremental_dedup(new, corpus)
+    assert sorted(r["doc_id"] for r in out.collect()) == [12]

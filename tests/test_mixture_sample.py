@@ -98,3 +98,27 @@ def test_quota_dict_broadcast_path_many_strata(spark):
     small = stratified_sample_exact(df.filter(F.col("lang").isin("d0", "d1")), "lang", {"d0": 2, "d1": 3})
     small_plan = small._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in small_plan
+
+
+def test_stratified_null_stratum_big_path(spark):
+    """A NULL stratum above max_window_rows must neither vanish nor
+    poison the small strata (`~isin` over a set containing None is NULL
+    for every non-member)."""
+    rows = (
+        [(i, None) for i in range(300)]
+        + [(1000 + i, "en") for i in range(300)]
+        + [(2000 + i, "fr") for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample_exact(df, "lang", 10, max_window_rows=100)
+    got = {
+        r["lang"]: r["c"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert got == {None: 10, "en": 10, "fr": 10}
+    # and the selection equals the pure-window path (exactness under the
+    # hash-threshold prefilter, null statum included)
+    plain = stratified_sample_exact(df, "lang", 10, max_window_rows=10**9)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in plain.collect()
+    )

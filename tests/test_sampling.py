@@ -177,3 +177,27 @@ def test_token_budget_histogram_is_bounded(spark):
         F.greatest(F.floor(prio * 16).cast("long"), F.lit(0)), F.lit(15)
     )
     assert df.select(b.alias("b")).distinct().count() <= 16
+
+
+def test_token_budget_null_token_bins_and_bad_range(spark):
+    """A bin whose docs all have NULL token counts must not crash the
+    driver scan (NULL tokens consume no budget, like the oracle's SUM);
+    lo >= hi is a caller error, reported as such."""
+    import pytest
+
+    from data_profiler_spark.operators import sampling
+
+    rows = [(i, 0.05, None) for i in range(40)] + [
+        (100 + i, 0.9, 10) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, p double, tk int")
+    out = sampling.token_budget_sample(
+        df, 100, priority=F.col("p"), tokens=F.col("tk"), bins=8, boundary_cutoff=2
+    )
+    got = sorted(r["doc_id"] for r in out.collect())
+    # all 5 real-token docs fit (50 <= 100); the 40 null-token docs also
+    # fit (they consume nothing) — selection must not TypeError
+    assert set(range(100, 105)).issubset(got)
+    assert len(got) == 45
+    with pytest.raises(ValueError):
+        sampling.token_budget_sample(df, 10, priority=F.col("p"), tokens=F.col("tk"), lo=0.5, hi=0.5)
