@@ -932,6 +932,17 @@ def q_normalize_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus.duplicated_span_report — winnowed 15-token window
+    fingerprints (MOSS selection, stride 5), cross-document duplication
+    fraction per doc (the repeated-substring signal behind suffix-array
+    dedup, count-shaped)."""
+    from data_profiler_spark.operators.corpus import duplicated_span_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_span_report(docs, window=15, stride=5).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_nchars": q_profile_nchars,
@@ -989,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "threshold_sweep": q_threshold_sweep,
         "normalize_text_stats": q_normalize_text_stats,
+        "duplicated_spans": q_duplicated_spans,
     }
 
 
@@ -1890,6 +1902,44 @@ _ORACLE["normalize_text_stats"] = f"""
            sum(CASE WHEN nt <> text THEN 1 ELSE 0 END)::BIGINT AS changed,
            sum(length(nt))::BIGINT AS norm_chars
     FROM n GROUP BY source
+"""
+
+
+_ORACLE["duplicated_spans"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t
+      FROM documents
+    ), hs AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 15
+                  THEN list_transform(range(1, len(t) - 13),
+                                      i -> md5(array_to_string(t[i:i+14], ' ')))
+                  ELSE CAST([] AS VARCHAR[]) END AS hall
+      FROM toks
+    ), sp AS (
+      SELECT doc_id,
+             CASE WHEN len(hall) = 0 THEN CAST([] AS VARCHAR[])
+                  WHEN len(hall) <= 5 THEN [list_min(hall)]
+                  ELSE list_distinct(list_transform(range(1, len(hall) - 3),
+                                                    j -> list_min(hall[j:j+4])))
+             END AS fps
+      FROM hs
+    ), e AS (
+      SELECT doc_id, unnest(fps) AS h FROM sp
+    ), c AS (
+      SELECT h, count(DISTINCT doc_id) AS docs FROM e GROUP BY h
+    ), per AS (
+      SELECT e.doc_id, count(*) AS spans,
+             sum(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END) AS dup
+      FROM e JOIN c USING (h) GROUP BY e.doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(per.spans, 0)::BIGINT AS spans,
+           coalesce(per.dup, 0)::BIGINT AS dup_spans,
+           round(CASE WHEN coalesce(per.spans, 0) > 0
+                      THEN per.dup::DOUBLE / per.spans ELSE 0.0 END, 6) AS dup_frac
+    FROM toks t LEFT JOIN per USING (doc_id) ORDER BY t.doc_id
 """
 
 

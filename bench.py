@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "token_budget_sample",
     "html_extract_roundtrip",
     "incremental_dedup",
+    "duplicated_spans",
     "quality_score_by_source",
 ]
 

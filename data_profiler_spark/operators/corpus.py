@@ -356,3 +356,111 @@ def url_filter(
         if blocked_domains
         else F.lit(False),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated-span measurement
+# ---------------------------------------------------------------------------
+
+DEFAULT_SPAN_TOKENS = 15
+DEFAULT_SPAN_STRIDE = 5
+
+
+def all_span_hashes_from_tokens(toks: Column, window: int) -> Column:
+    """md5 hash of EVERY ``window``-token window (n_tok - window + 1 of
+    them); empty array for docs shorter than ``window``. Input must be a
+    materialized token-array attribute (lambda-capture re-evaluation,
+    CLAUDE.md perf rule)."""
+    n = F.size(toks) - (window - 1)
+    return F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def winnow_fingerprints(hashes: Column, stride: int) -> Column:
+    """Winnowing selection (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    fingerprinting scheme): from the full window-hash sequence keep the
+    MINIMUM of every ``stride`` consecutive hashes, deduplicated. The
+    selection is CONTENT-defined, not position-defined — two copies of
+    the same span at different offsets select the same fingerprints —
+    which fixed-position strided sampling cannot do (the sampled
+    span-relative offsets differ by the copies' phase mod stride and
+    never line up). Guarantee: a verbatim overlap spanning ≥ stride
+    consecutive window hashes (i.e. ≥ window + stride - 1 tokens) shares
+    at least one selected fingerprint on both sides, because the shared
+    stride-run's minimum is selected in both documents. Expected density
+    2/(stride+1), so ~2·n/stride fingerprints leave each doc.
+    ``hashes`` must be a materialized attribute — the sliding ``slice``
+    references it stride-many times."""
+    n = F.size(hashes)
+    return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.when(n <= stride, F.array(F.array_min(hashes))).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - (stride - 1)),
+                    lambda j: F.array_min(F.slice(hashes, j, stride)),
+                )
+            )
+        )
+    )
+
+
+def duplicated_span_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = DEFAULT_SPAN_TOKENS,
+    stride: int = DEFAULT_SPAN_STRIDE,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document fraction of winnowed span fingerprints that also
+    occur in OTHER documents — the repeated-substring signal behind
+    suffix-array dedup (RefinedWeb-style), made corpus-scalable with
+    MOSS-style winnowing (:func:`winnow_fingerprints`): any verbatim
+    overlap of ≥ ``window + stride - 1`` tokens is GUARANTEED to share a
+    fingerprint between the documents, at an expected ~2·n/stride
+    fingerprints per doc crossing the wire.
+
+    Returns ``(id, spans, dup_spans, dup_frac)`` for every doc —
+    ``spans`` = selected fingerprints (0 for docs shorter than
+    ``window`` tokens). A fingerprint counts as duplicated when it
+    appears in ≥ ``min_docs`` DISTINCT documents — within-doc repetition
+    is the cheap narrow-map rule (``textstats.dup_2gram_fraction``), not
+    this operator's job.
+
+    Plan shape (the ``line_dedup`` family): tokens → window hashes →
+    winnow (both materialized attributes — the selection slices
+    reference them stride-many times) → explode → hash-count agg
+    (map-side combinable, 32-char keys) → join back → per-doc rollup.
+    The count agg is immune to hot spans (partial agg); the join back is
+    probe-side skewed on boilerplate spans, which AQE skew-split handles.
+    """
+    toks = df.select(F.col(id_col), tokens_expr(F.col(text_col)).alias("_tk"))
+    hashed = toks.select(
+        F.col(id_col), all_span_hashes_from_tokens(F.col("_tk"), window).alias("_hs")
+    )
+    spans = hashed.select(
+        F.col(id_col),
+        F.explode_outer(winnow_fingerprints(F.col("_hs"), stride)).alias("_h"),
+    )
+    counts = (
+        spans.filter(F.col("_h").isNotNull())
+        .groupBy("_h")
+        .agg(F.count_distinct(id_col).alias("_docs"))
+    )
+    per_span = spans.join(counts, "_h", "left")
+    return per_span.groupBy(id_col).agg(
+        F.count("_h").cast("long").alias("spans"),
+        F.sum(F.when(F.col("_docs") >= min_docs, 1).otherwise(0)).cast("long").alias("dup_spans"),
+        F.round(
+            F.when(
+                F.count("_h") > 0,
+                F.sum(F.when(F.col("_docs") >= min_docs, 1).otherwise(0)) / F.count("_h"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_frac"),
+    )

@@ -207,3 +207,49 @@ def test_url_list_blocklist_is_scan_pushable(spark, pages):
         .toString()
     )
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# duplicated spans
+# ---------------------------------------------------------------------------
+
+
+def test_duplicated_span_report(spark):
+    shared = " ".join(f"w{i}" for i in range(25))  # 25-token verbatim overlap
+    docs = [
+        (0, shared + " " + " ".join(f"a{i}" for i in range(30))),
+        (1, " ".join(f"b{i}" for i in range(30)) + " " + shared),
+        (2, " ".join(f"c{i}" for i in range(60))),  # unique content
+        (3, "too short"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in corpus.duplicated_span_report(df, window=15, stride=5).collect()
+    }
+    # 25 shared tokens >= window + stride - 1 = 19 → at least one sampled
+    # window lands fully inside the overlap on BOTH docs
+    assert got[0]["dup_spans"] >= 1 and got[1]["dup_spans"] >= 1
+    assert got[2]["dup_spans"] == 0 and got[2]["spans"] > 0
+    assert got[3]["spans"] == 0 and got[3]["dup_frac"] == 0.0
+    assert got[4]["spans"] == 0
+    for r in got.values():
+        if r["spans"]:
+            assert abs(r["dup_frac"] - r["dup_spans"] / r["spans"]) < 1e-6
+
+
+def test_duplicated_span_alignment_guarantee(spark):
+    """Doc 1's copy of the span starts at an arbitrary offset — strided
+    sampling must still catch it (window + stride - 1 guarantee)."""
+    span = " ".join(f"s{i}" for i in range(19))  # exactly window+stride-1
+    for offset in range(5):
+        prefix = " ".join(f"p{i}" for i in range(offset)) if offset else ""
+        a = (span + " " + " ".join(f"x{i}" for i in range(20))).strip()
+        b = ((prefix + " " + span).strip() + " " + " ".join(f"y{i}" for i in range(20))).strip()
+        df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["dup_spans"]
+            for r in corpus.duplicated_span_report(df, window=15, stride=5).collect()
+        }
+        assert got[0] >= 1 and got[1] >= 1, f"missed at offset {offset}"
