@@ -943,6 +943,18 @@ def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_report(docs, window=15, stride=5).orderBy("doc_id")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/packing.py::pack_sequences — GPT-style concat-then-chunk
+    packing assignment (global token offsets in md5 order, seq_len=1024)
+    computed with bucketed prefix sums, never a global sort."""
+    from data_profiler_spark.operators.dedup import tokens_expr
+    from data_profiler_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = F.size(tokens_expr(F.col("text")))
+    return pack_sequences(docs, tk, seq_len=1024).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_nchars": q_profile_nchars,
@@ -1001,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_sweep": q_threshold_sweep,
         "normalize_text_stats": q_normalize_text_stats,
         "duplicated_spans": q_duplicated_spans,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1940,6 +1953,26 @@ _ORACLE["duplicated_spans"] = """
            round(CASE WHEN coalesce(per.spans, 0) > 0
                       THEN per.dup::DOUBLE / per.spans ELSE 0.0 END, 6) AS dup_frac
     FROM toks t LEFT JOIN per USING (doc_id) ORDER BY t.doc_id
+"""
+
+
+_ORACLE["pack_sequences"] = """
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                             x -> x <> ''))::BIGINT AS tokens,
+             md5(doc_id::VARCHAR) AS h
+      FROM documents
+    ), o AS (
+      SELECT doc_id, tokens,
+             coalesce(sum(tokens) OVER (ORDER BY h, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS goff
+      FROM t
+    )
+    SELECT doc_id, tokens, goff AS global_offset,
+           (goff // 1024)::BIGINT AS seq_id,
+           (goff % 1024)::BIGINT AS offset_in_seq
+    FROM o ORDER BY doc_id
 """
 
 
