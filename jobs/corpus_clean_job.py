@@ -21,7 +21,13 @@ Stages (each optional, applied in this order):
    runs before any text is touched).
 2. Benchmark decontamination: drop docs sharing any word ``--ngram``-gram
    with --eval-set (eval n-grams broadcast; corpus never shuffles them).
-3. Cross-corpus line dedup: corpus-duplicated lines survive only at
+3. ``--normalize``: whitespace/control canonicalization
+   (``textanalysis.normalize_text_expr`` — narrow map) so the dedup keys
+   below ignore crawl-hygiene variation.
+4. ``--span-dup-threshold``: drop docs whose winnowed repeated-span
+   fraction (``corpus.duplicated_span_report``) meets the threshold —
+   the cross-document verbatim-overlap kill.
+5. Cross-corpus line dedup: corpus-duplicated lines survive only at
    their first occurrence; per-doc kept/dropped counts land in the
    output.
 
@@ -53,6 +59,19 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--ngram", type=int, default=13, help="decontamination n-gram order")
     ap.add_argument("--max-line-occurrences", type=int, default=1)
     ap.add_argument("--line-min-chars", type=int, default=5)
+    ap.add_argument(
+        "--normalize",
+        action="store_true",
+        help="canonicalize whitespace/control chars before dedup keys",
+    )
+    ap.add_argument(
+        "--span-dup-threshold",
+        type=float,
+        default=None,
+        help="drop docs whose winnowed repeated-span fraction >= this",
+    )
+    ap.add_argument("--span-window", type=int, default=15)
+    ap.add_argument("--span-stride", type=int, default=5)
     ap.add_argument("--local-cores", type=int, default=None, help="sandbox only; omit on a cluster")
     ap.add_argument(
         "--stage-counts",
@@ -101,6 +120,25 @@ def main(argv: list[str] | None = None) -> int:
         ).filter(F.col("_c").isNull()).drop("_c")
         if args.stage_counts:
             stats["after_decontamination"] = docs.count()
+
+    if args.normalize:
+        from data_profiler_spark.functions.textanalysis import normalize_text_expr
+
+        docs = docs.withColumn("text", normalize_text_expr(F.col("text")))
+
+    if args.span_dup_threshold is not None:
+        rep = corpus.duplicated_span_report(
+            docs, window=args.span_window, stride=args.span_stride
+        )
+        docs = docs.join(
+            rep.filter(F.col("dup_frac") >= args.span_dup_threshold)
+            .select("doc_id")
+            .withColumn("_d", F.lit(1)),
+            "doc_id",
+            "left",
+        ).filter(F.col("_d").isNull()).drop("_d")
+        if args.stage_counts:
+            stats["after_span_dedup"] = docs.count()
 
     cleaned = corpus.line_dedup(
         docs,
