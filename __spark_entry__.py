@@ -955,6 +955,15 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, tk, seq_len=1024).orderBy("doc_id")
 
 
+def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/drift.py::quantile_buckets — exact decile assignment on
+    n_chars (curriculum-mixing primitive; exact percentile, never approx)."""
+    from data_profiler_spark.operators.drift import quantile_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return quantile_buckets(docs, F.col("n_chars"), k=10).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_nchars": q_profile_nchars,
@@ -1014,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text_stats": q_normalize_text_stats,
         "duplicated_spans": q_duplicated_spans,
         "pack_sequences": q_pack_sequences,
+        "quantile_buckets": q_quantile_buckets,
     }
 
 
@@ -1973,6 +1983,21 @@ _ORACLE["pack_sequences"] = """
            (goff // 1024)::BIGINT AS seq_id,
            (goff % 1024)::BIGINT AS offset_in_seq
     FROM o ORDER BY doc_id
+"""
+
+
+_ORACLE["quantile_buckets"] = """
+    WITH cuts AS (
+      SELECT quantile_cont(n_chars::DOUBLE,
+                           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c
+      FROM documents
+    )
+    SELECT doc_id,
+           round(n_chars::DOUBLE, 6) AS score,
+           len(list_filter(c, x -> n_chars::DOUBLE > round(x, 6)))::INT AS bucket
+    FROM documents, cuts
+    WHERE n_chars IS NOT NULL
+    ORDER BY doc_id
 """
 
 

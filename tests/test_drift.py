@@ -111,3 +111,39 @@ def test_drift_defined_on_empty_and_allnull_sides(spark, documents):
     allnull = spark.createDataFrame([(None,), (None,)], "v double")
     s2 = drift_summary(allnull, allnull, "v", bins=4).collect()[0]
     assert (s2["n_a"], s2["n_b"], s2["psi"], s2["tvd"]) == (0, 0, 0.0, 0.0)
+
+
+def test_quantile_buckets_exact_deciles(documents):
+    from data_profiler_spark.operators.drift import quantile_buckets
+
+    out = quantile_buckets(documents, F.col("n_chars"), k=10)
+    rows = out.collect()
+    assert len(rows) == documents.count()
+    # buckets ordered by score: every doc in bucket b scores <= any doc in b+1
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r["score"])
+    assert set(by_bucket) <= set(range(10))
+    bs = sorted(by_bucket)
+    for lo_b, hi_b in zip(bs, bs[1:]):
+        assert max(by_bucket[lo_b]) <= min(by_bucket[hi_b])
+    # near-continuous column → roughly balanced deciles (heavily tied
+    # scores CAN lump into one bucket by design — ties never split)
+    assert max(len(v) for v in by_bucket.values()) < len(rows) / 4
+
+
+def test_quantile_buckets_feed_mixture_sampling(spark):
+    """The curation composition: bucket by score, then oversample the top."""
+    from data_profiler_spark.operators.drift import quantile_buckets
+    from data_profiler_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(400)], "doc_id long, s double"
+    )
+    b = quantile_buckets(df, F.col("s"), k=4)
+    mix = mixture_sample(b, "bucket", {3: 0.5, 2: 0.25, 1: 0.25}, total=80)
+    got = {
+        r["bucket"]: r["c"]
+        for r in mix.groupBy("bucket").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert got == {3: 40, 2: 20, 1: 20}
