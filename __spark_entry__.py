@@ -1969,8 +1969,8 @@ _ORACLE["duplicated_spans"] = """
 _ORACLE["pack_sequences"] = """
     WITH t AS (
       SELECT doc_id,
-             len(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
-                             x -> x <> ''))::BIGINT AS tokens,
+             coalesce(len(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                                      x -> x <> '')), 0)::BIGINT AS tokens,
              md5(doc_id::VARCHAR) AS h
       FROM documents
     ), o AS (

@@ -242,15 +242,27 @@ def quantile_buckets(
     invariant) costs one aggregate; cutpoints (k-1 doubles) come back to
     the driver and the assignment is a pure narrow map over literals —
     two passes, no join, no shuffle beyond the percentile agg."""
-    qs = [i / k for i in range(1, k)]
+    if k < 1:
+        raise ValueError("quantile_buckets needs k >= 1")
     scored = df.select(F.col(id_col), score.cast("double").alias("_s"))
-    row = scored.agg(
-        F.percentile("_s", F.array(*[F.lit(q) for q in qs])).alias("c")
-    ).collect()[0]
-    # cutpoints rounded to round_to before comparing: scores carry that
-    # precision anyway, and it removes any 1-ulp interpolation skew
-    # between engines from the bucket boundaries
-    cuts = [round(float(c), round_to) for c in (row["c"] or [])]
+    cuts: list[float] = []
+    if k > 1:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        qs = [i / k for i in range(1, k)]
+        row = scored.agg(
+            F.percentile("_s", F.array(*[F.lit(q) for q in qs])).alias("c")
+        ).collect()[0]
+        # cutpoints rounded to round_to before comparing: scores carry
+        # that precision anyway, and it removes any 1-ulp interpolation
+        # skew between engines from the bucket boundaries. HALF_UP, not
+        # Python's banker's round — DuckDB/Spark round() are half-away-
+        # from-zero and the oracle must round IDENTICALLY.
+        q10 = Decimal(10) ** -round_to
+        cuts = [
+            float(Decimal(repr(float(c))).quantize(q10, rounding=ROUND_HALF_UP))
+            for c in (row["c"] or [])
+        ]
     bucket = F.lit(0)
     for c in cuts:
         bucket = bucket + (F.col("_s") > F.lit(c)).cast("int")

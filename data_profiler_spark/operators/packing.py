@@ -44,10 +44,13 @@ def pack_sequences(
     ``seq_id = global_offset // seq_len`` the training sequence its first
     token lands in, ``offset_in_seq`` the position inside it. Documents
     with NULL token counts pack as 0 tokens (they occupy no room but
-    keep a defined slot). Exact and deterministic — the DuckDB oracle
-    replays the same order with one global window."""
+    keep a defined slot); documents with a NULL id are EXCLUDED — a null
+    id has no stable position in the canonical order, so including them
+    would make the packing nondeterministic. Exact and deterministic —
+    the DuckDB oracle replays the same order with one global window."""
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
+    df = df.filter(F.col(id_col).isNotNull())
     h = F.md5(F.col(id_col).cast("string"))
     base = df.select(
         F.col(id_col),

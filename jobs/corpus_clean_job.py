@@ -114,10 +114,8 @@ def main(argv: list[str] | None = None) -> int:
         evl = spark.read.parquet(args.eval_set)
         rep = corpus.contamination_report(docs, evl, n=args.ngram)
         docs = docs.join(
-            rep.filter("contaminated").select("doc_id").withColumn("_c", F.lit(1)),
-            "doc_id",
-            "left",
-        ).filter(F.col("_c").isNull()).drop("_c")
+            rep.filter("contaminated").select("doc_id"), "doc_id", "left_anti"
+        )
         if args.stage_counts:
             stats["after_decontamination"] = docs.count()
 
@@ -127,16 +125,18 @@ def main(argv: list[str] | None = None) -> int:
         docs = docs.withColumn("text", normalize_text_expr(F.col("text")))
 
     if args.span_dup_threshold is not None:
+        # persist: the span report evaluates its upstream (blocklist /
+        # decontamination / normalize) internally, and the anti-join back
+        # against docs would re-run it all a third time otherwise
+        docs = docs.persist()
         rep = corpus.duplicated_span_report(
             docs, window=args.span_window, stride=args.span_stride
         )
         docs = docs.join(
-            rep.filter(F.col("dup_frac") >= args.span_dup_threshold)
-            .select("doc_id")
-            .withColumn("_d", F.lit(1)),
+            rep.filter(F.col("dup_frac") >= args.span_dup_threshold).select("doc_id"),
             "doc_id",
-            "left",
-        ).filter(F.col("_d").isNull()).drop("_d")
+            "left_anti",
+        )
         if args.stage_counts:
             stats["after_span_dedup"] = docs.count()
 

@@ -147,3 +147,15 @@ def test_quantile_buckets_feed_mixture_sampling(spark):
         for r in mix.groupBy("bucket").agg(F.count(F.lit(1)).alias("c")).collect()
     }
     assert got == {3: 40, 2: 20, 1: 20}
+
+
+def test_quantile_buckets_k_edge_cases(spark):
+    import pytest
+
+    from data_profiler_spark.operators.drift import quantile_buckets
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "doc_id long, s double")
+    one = quantile_buckets(df, F.col("s"), k=1).collect()
+    assert {r["bucket"] for r in one} == {0}
+    with pytest.raises(ValueError):
+        quantile_buckets(df, F.col("s"), k=0)

@@ -52,3 +52,10 @@ def test_pack_rejects_bad_seq_len(spark):
     df = spark.createDataFrame([(1, 5)], "doc_id long, tk int")
     with pytest.raises(ValueError):
         pack_sequences(df, F.col("tk"), seq_len=0)
+
+
+def test_pack_excludes_null_ids(spark):
+    df = spark.createDataFrame([(1, 5), (None, 7), (2, 3)], "doc_id long, tk int")
+    rows = pack_sequences(df, F.col("tk"), seq_len=8).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2]
+    assert sum(r["tokens"] for r in rows) == 8  # null-id doc occupies no room
