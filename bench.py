@@ -146,6 +146,31 @@ def _jvm_marker(spark, cores: int) -> float:
     return time.time() - t0
 
 
+def _jvm_bw_marker(spark, cores: int) -> float:
+    """Memory-BANDWIDTH-bound reference for a scaling round (same design
+    as the headline suite's host_marker_bw): sha2 streamed over a large
+    cached string column. Sessions 6/7 (BASELINE.md) showed local[8]
+    engine rounds capped while the cache-resident compute marker stayed
+    flat — bandwidth contention is invisible to it — so --scaling rounds
+    record BOTH markers and bandwidth-capped windows are identifiable
+    from the JSON alone."""
+    from pyspark.sql import functions as F
+
+    big = (
+        spark.range(0, 2_000_000, 1, cores * 2)
+        .select(F.repeat(F.sha2(F.col("id").cast("string"), 256), 4).alias("s"))
+        .cache()
+    )
+    big.count()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        big.select(F.max(F.sha2(F.col("s"), 256)).alias("h")).collect()
+        best = min(best, time.time() - t0)
+    big.unpersist()
+    return best
+
+
 def _run_score_round(cores: int, n_docs: int) -> float:
     """Steady-state scoring throughput at ``local[cores]``: best timed run
     of score(cached pages) → noop sink. Excluded from the timed window:
@@ -176,21 +201,22 @@ def _run_score_round(cores: int, n_docs: int) -> float:
     score_pages(warm).write.mode("overwrite").format("noop").save()
     _jvm_marker(spark, cores)  # codegen warm-up for the marker job
     marker = _jvm_marker(spark, cores)
+    bw_marker = _jvm_bw_marker(spark, cores)
     best = float("inf")
     for _ in range(2):
         t0 = time.time()
         score_pages(pages).write.mode("overwrite").format("noop").save()
         best = min(best, time.time() - t0)
     spark.stop()
-    return best, marker
+    return best, marker, bw_marker
 
 
 def main() -> None:
     if "--score-subprocess" in sys.argv:
         cores = int(sys.argv[sys.argv.index("--score-subprocess") + 1])
         n = int(sys.argv[sys.argv.index("--score-subprocess") + 2])
-        elapsed, marker = _run_score_round(cores, n)
-        print(json.dumps({"elapsed": elapsed, "marker": marker}))
+        elapsed, marker, bw_marker = _run_score_round(cores, n)
+        print(json.dumps({"elapsed": elapsed, "marker": marker, "bw_marker": bw_marker}))
         return
 
     if "--scaling" in sys.argv:
@@ -210,17 +236,19 @@ def main() -> None:
         results: dict[int, float] = {}
         rounds: dict[str, list[float]] = {str(SCALE_LO): [], str(SCALE_HI): []}
         markers: dict[str, list[float]] = {str(SCALE_LO): [], str(SCALE_HI): []}
+        bw_markers: dict[str, list[float]] = {str(SCALE_LO): [], str(SCALE_HI): []}
         ratios: dict[int, list[float]] = {SCALE_LO: [], SCALE_HI: []}
         n_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
         for _pair in range(n_pairs):
             for cores in (SCALE_LO, SCALE_HI):
-                elapsed, marker = _run_score_round(cores, SCALE_N)
+                elapsed, marker, bw_marker = _run_score_round(cores, SCALE_N)
                 results[cores] = min(results.get(cores, float("inf")), elapsed)
                 rounds[str(cores)].append(round(elapsed, 2))
                 markers[str(cores)].append(round(marker, 2))
+                bw_markers[str(cores)].append(round(bw_marker, 2))
                 ratios[cores].append(elapsed / marker)
                 print(
-                    f"# local[{cores}]: {elapsed:.2f}s (marker {marker:.2f}s)",
+                    f"# local[{cores}]: {elapsed:.2f}s (marker {marker:.2f}s, bw {bw_marker:.2f}s)",
                     file=sys.stderr,
                     flush=True,
                 )
@@ -254,6 +282,9 @@ def main() -> None:
                     # were host-throttled (all levels flatten together)
                     "rounds": rounds,
                     "jvm_markers": markers,
+                    # bandwidth-bound twin (sessions 6/7: local[8] rounds
+                    # capped while the cache-resident marker stayed flat)
+                    "jvm_bw_markers": bw_markers,
                     # engine scaling relative to the same-window pure-JVM
                     # reference (host-noise-cancelled; >= 1.0 means the
                     # engine scales no worse than raw JVM compute)
