@@ -56,6 +56,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--run-id", default="run-0")
     ap.add_argument("--keep-langs", default="en")
     ap.add_argument("--salt-buckets", type=int, default=256)
+    ap.add_argument(
+        "--dedup-against",
+        help="parquet of the maintained corpus content_hash table: drop "
+        "pages whose text the corpus already holds BEFORE scoring "
+        "(operators/dedup.py::incremental_dedup — a recurring crawl is "
+        "1-5%% new content, so this gates the expensive model stage); "
+        "new hashes land at <output>/new_content_hashes for the caller "
+        "to append to the maintained table after accepting the run",
+    )
     ap.add_argument("--local-cores", type=int, default=None, help="sandbox only; omit on a cluster")
     args = ap.parse_args(argv)
 
@@ -71,6 +80,16 @@ def main(argv: list[str] | None = None) -> int:
         pages = spark.read.parquet(args.input)
     else:
         ap.error("one of --input / --synth is required")
+
+    if args.dedup_against:
+        from data_profiler_spark.operators.dedup import incremental_dedup
+
+        hashes = spark.read.parquet(args.dedup_against)
+        pages = incremental_dedup(pages, hashes, corpus_is_hashes=True)
+        pages.select("content_hash").write.mode("overwrite").parquet(
+            f"{args.output}/new_content_hashes"
+        )
+        pages = pages.drop("content_hash")
 
     pipe = QualityFilterPipeline(
         spark,
