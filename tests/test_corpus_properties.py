@@ -102,3 +102,57 @@ def test_normalize_text_matches_python_reference(spark):
     assert got[2] == "p1\n\np2"
     assert got[3] == "lead and trail"
     assert got[4] == "ctrlchars"
+
+
+def _py_winnow(tokens, window=5, stride=3):
+    """Independent winnowing reference (MOSS selection over md5 window
+    hashes)."""
+    n = len(tokens) - (window - 1)
+    if n < 1:
+        return set()
+    hall = [
+        hashlib.md5(" ".join(tokens[i : i + window]).encode()).hexdigest()
+        for i in range(n)
+    ]
+    if len(hall) <= stride:
+        return {min(hall)}
+    return {min(hall[j : j + stride]) for j in range(len(hall) - stride + 1)}
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(st.sampled_from("ab cd ef gh xy".split()), min_size=0, max_size=30), min_size=1, max_size=8))
+def test_winnow_fingerprints_match_python_reference(spark, token_lists):
+    texts = [" ".join(toks) for toks in token_lists]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        "doc_id", corpus.tokens_expr(F.col("text")).alias("_tk")
+    )
+    hashed = toks.select(
+        "doc_id", corpus.all_span_hashes_from_tokens(F.col("_tk"), 5).alias("_hs")
+    )
+    got = {
+        r["doc_id"]: set(r["fp"])
+        for r in hashed.select(
+            "doc_id", corpus.winnow_fingerprints(F.col("_hs"), 3).alias("fp")
+        ).collect()
+    }
+    for i, toks_i in enumerate(token_lists):
+        assert got[i] == _py_winnow(toks_i, window=5, stride=3), toks_i
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(st.sampled_from("abcdef"), st.integers(0, 50), min_size=1, max_size=6),
+    st.dictionaries(st.sampled_from("abcdef"), st.floats(0.01, 1.0), min_size=1, max_size=6),
+    st.integers(0, 150),
+)
+def test_mixture_allocation_properties(sizes, weights, total):
+    alloc = sampling.mixture_allocation(sizes, weights, total)
+    weighted = {s for s in weights if s in sizes and weights[s] > 0}
+    available = sum(sizes[s] for s in weighted)
+    assert set(alloc) == weighted
+    for s, n in alloc.items():
+        assert 0 <= n <= sizes[s]
+    assert sum(alloc.values()) == min(total, available)
