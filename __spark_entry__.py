@@ -1931,7 +1931,8 @@ _ORACLE["normalize_text_stats"] = f"""
 _ORACLE["duplicated_spans"] = """
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t
+             (list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                          x -> x <> ''))[1:50000] AS t
       FROM documents
     ), hs AS (
       SELECT doc_id,

@@ -364,6 +364,11 @@ def url_filter(
 
 DEFAULT_SPAN_TOKENS = 15
 DEFAULT_SPAN_STRIDE = 5
+# winnowing materializes one md5 per token position as an in-row array
+# (~32 B/token); a pathological 10M-token page would be a ~300 MB row.
+# Cap the analyzed prefix — standard practice for overlap detection, and
+# 50k tokens ≫ any real web page.
+DEFAULT_SPAN_MAX_TOKENS = 50_000
 
 
 def all_span_hashes_from_tokens(toks: Column, window: int) -> Column:
@@ -416,6 +421,7 @@ def duplicated_span_report(
     window: int = DEFAULT_SPAN_TOKENS,
     stride: int = DEFAULT_SPAN_STRIDE,
     min_docs: int = 2,
+    max_tokens: int = DEFAULT_SPAN_MAX_TOKENS,
 ) -> DataFrame:
     """Per-document fraction of winnowed span fingerprints that also
     occur in OTHER documents — the repeated-substring signal behind
@@ -438,8 +444,16 @@ def duplicated_span_report(
     (map-side combinable, 32-char keys) → join back → per-doc rollup.
     The count agg is immune to hot spans (partial agg); the join back is
     probe-side skewed on boilerplate spans, which AQE skew-split handles.
+    Only the first ``max_tokens`` tokens per document are analyzed
+    (:data:`DEFAULT_SPAN_MAX_TOKENS`) — the window-hash array is one md5
+    per token position IN THE ROW, so an unbounded pathological page
+    would be a multi-hundred-MB row; 50k tokens exceeds any real web
+    page and overlap detection on a long prefix is standard practice.
     """
-    toks = df.select(F.col(id_col), tokens_expr(F.col(text_col)).alias("_tk"))
+    toks = df.select(
+        F.col(id_col),
+        F.slice(tokens_expr(F.col(text_col)), 1, max_tokens).alias("_tk"),
+    )
     hashed = toks.select(
         F.col(id_col), all_span_hashes_from_tokens(F.col("_tk"), window).alias("_hs")
     )
