@@ -400,6 +400,19 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id1", "id2")
 
 
+def q_band_df_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-bucket occupancy report (dedup.band_df_report): quantifies
+    the pairwise band self-join BEFORE paying for it — uncapped C(df,2)
+    candidate mass vs the max_band_df-capped star-edge mass. The oracle
+    replays the identical md5-prefix minhash + band scheme in DuckDB
+    (cap=3 so the sf0.01 fixture's planted duplicate families actually
+    exercise the hot branch)."""
+    from data_profiler_spark.operators import dedup
+
+    df = _t(spark, sf_dir, "documents")
+    return dedup.band_df_report(df, "doc_id", "text", max_band_df=3)
+
+
 def q_ngram_jaccard_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs n-gram Jaccard join (inverted-index candidates)."""
     from data_profiler_spark.operators import dedup
@@ -988,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_top10": q_ann_cosine_top10,
         "candidate_key_ratios": q_candidate_key_ratios,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "band_df_report": q_band_df_report,
         "ngram_jaccard_dup": q_ngram_jaccard_dup,
         "near_dup_components": q_near_dup_components,
         "near_dup_keep": q_near_dup_keep,
@@ -1329,6 +1343,39 @@ WITH s AS (
 _JACCARD = "len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh))"
 
 
+def _band_df_report_sql(num_perm: int = 16, rows_per_band: int = 2, cap: int = 3) -> str:
+    """DuckDB replay of dedup.band_df_report's md5-mode minhash + banding:
+    per-perm min over substr(md5('p{p}:' || shingle), 1, 16), band key =
+    the '|'-joined signature slice (Spark md5's the joined slice; grouping
+    by the raw slice partitions docs identically)."""
+    mins = ",\n           ".join(
+        f"list_min(list_transform(sh, x -> substr(md5('p{p}:' || x), 1, 16))) AS m{p}"
+        for p in range(num_perm)
+    )
+    bands_list = ", ".join(
+        " || '|' || ".join(
+            f"m{p}" for p in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
+        for b in range(num_perm // rows_per_band)
+    )
+    return f"""
+    {_SH_CTE},
+    sig AS (SELECT doc_id, {mins} FROM s),
+    b AS (
+      SELECT doc_id, generate_subscripts(bands, 1) AS band_id, unnest(bands) AS key
+      FROM (SELECT doc_id, [{bands_list}] AS bands FROM sig)
+    ),
+    f AS (SELECT band_id, key, count(*) AS bdf FROM b GROUP BY band_id, key)
+    SELECT count(*)::BIGINT AS total_buckets,
+           sum(CASE WHEN bdf > {cap} THEN 1 ELSE 0 END)::BIGINT AS hot_buckets,
+           max(bdf)::BIGINT AS max_bucket_docs,
+           sum(bdf * (bdf - 1) // 2)::BIGINT AS uncapped_candidates,
+           sum(CASE WHEN bdf > {cap} THEN bdf - 1
+                    ELSE bdf * (bdf - 1) // 2 END)::BIGINT AS capped_candidates
+    FROM f
+    """
+
+
 def _jaccard_pairs_sql(threshold: float) -> str:
     return f"""
     {_SH_CTE}
@@ -1524,6 +1571,7 @@ def _near_dup_keep_sql(threshold: float) -> str:
 _ORACLE.update(
     {
         "minhash_lsh_dedup": _jaccard_pairs_sql(0.8),
+        "band_df_report": _band_df_report_sql(cap=3),
         "near_dup_components": _near_dup_components_sql(0.8),
         "near_dup_keep": _near_dup_keep_sql(0.8),
         "ngram_jaccard_dup": _jaccard_pairs_sql(0.5),
@@ -1680,13 +1728,17 @@ _ORACLE.update(
             GROUP BY e.user_id
         """,
         "line_dedup_docs": """
+            -- LEFT JOIN from the base table so null-text docs survive with
+            -- NULL clean_text and 0/0 counts, matching the Spark operator's
+            -- posexplode_outer marker row (string_split(NULL) unnests to
+            -- zero rows, which would otherwise drop those docs entirely).
             WITH base AS (
               SELECT doc_id, replace(text, ' a ', chr(10)) AS text FROM documents
             ), l AS (
               SELECT doc_id,
                      generate_subscripts(string_split(text, chr(10)), 1) AS pos,
                      unnest(string_split(text, chr(10))) AS line
-              FROM base
+              FROM base WHERE text IS NOT NULL
             ), k AS (
               SELECT doc_id, pos, line,
                      CASE WHEN len(line) < 5 THEN TRUE
@@ -1694,32 +1746,45 @@ _ORACLE.update(
                           WHEN row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1 THEN TRUE
                           ELSE FALSE END AS keep
               FROM l
+            ), agg AS (
+              SELECT doc_id,
+                     coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS clean_text,
+                     count(*) FILTER (WHERE keep) AS lines_kept,
+                     count(*) FILTER (WHERE NOT keep) AS lines_dropped
+              FROM k GROUP BY doc_id
             )
-            SELECT doc_id,
-                   coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS clean_text,
-                   count(*) FILTER (WHERE keep) AS lines_kept,
-                   count(*) FILTER (WHERE NOT keep) AS lines_dropped
-            FROM k GROUP BY doc_id ORDER BY doc_id
+            SELECT b.doc_id, a.clean_text,
+                   coalesce(a.lines_kept, 0) AS lines_kept,
+                   coalesce(a.lines_dropped, 0) AS lines_dropped
+            FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id
         """,
         "line_dedup_within": """
+            -- LEFT JOIN from the base table: null-text docs keep NULL
+            -- clean_text and 0/0 counts (parity with the Spark operator;
+            -- see line_dedup_docs).
             WITH base AS (
               SELECT doc_id, replace(text, ' a ', chr(10)) AS text FROM documents
             ), l AS (
               SELECT doc_id,
                      generate_subscripts(string_split(text, chr(10)), 1) AS pos,
                      unnest(string_split(text, chr(10))) AS line
-              FROM base
+              FROM base WHERE text IS NOT NULL
             ), k AS (
               SELECT doc_id, pos, line,
                      (length(line) < 5 OR
                       row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) = 1) AS keep
               FROM l
+            ), agg AS (
+              SELECT doc_id,
+                     coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS clean_text,
+                     count(*) FILTER (WHERE keep) AS lines_kept,
+                     count(*) FILTER (WHERE NOT keep) AS lines_dropped
+              FROM k GROUP BY doc_id
             )
-            SELECT doc_id,
-                   coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS clean_text,
-                   count(*) FILTER (WHERE keep) AS lines_kept,
-                   count(*) FILTER (WHERE NOT keep) AS lines_dropped
-            FROM k GROUP BY doc_id ORDER BY doc_id
+            SELECT b.doc_id, a.clean_text,
+                   coalesce(a.lines_kept, 0) AS lines_kept,
+                   coalesce(a.lines_dropped, 0) AS lines_dropped
+            FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id
         """,
         "contamination_screen": """
             WITH toks AS (

@@ -46,6 +46,12 @@ SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "200000"))
 # multi-executor cluster.
 _SCALE_CORES = os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8")
 SCALE_LO, SCALE_HI = (int(x) for x in _SCALE_CORES.split(","))
+# Quiet-host reference values for the two markers (BASELINE.md audit
+# trail: the best windows observed across ten sessions on this VM). The
+# headline JSON emits totals normalized to these so round-over-round
+# comparisons don't require adjudicating host-noise bursts by hand.
+QUIET_MARKER_SEC = 0.75
+QUIET_BW_MARKER_SEC = 0.255
 
 def _minhash_prod(spark, sf_dir):
     """Production-config MinHash+LSH: xxhash64 numeric minhashes, pure
@@ -374,6 +380,16 @@ def main() -> None:
     print(f"# quality_filter_score: {score_sec:.2f}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
+    # Marker-normalized totals: scale the wall time to what a QUIET host
+    # would have measured (quiet references from BASELINE.md's ten-session
+    # audit: compute marker 0.75 s, bandwidth marker 0.255 s). This makes
+    # round-over-round BENCH comparisons self-contained — a 2.5×-throttled
+    # driver window self-normalizes instead of reading as a regression.
+    # The true value lies BETWEEN the two normalizations (suites mix
+    # compute-bound and bandwidth-bound stages); a large gap between them
+    # flags a bandwidth-throttled window (bw marker degrades much more).
+    norm = round(total * QUIET_MARKER_SEC / marker_sec, 3)
+    norm_bw = round(total * QUIET_BW_MARKER_SEC / marker_bw_sec, 3)
     print(
         json.dumps(
             {
@@ -386,6 +402,13 @@ def main() -> None:
                 "pages_n": PAGES_N,
                 "host_marker_sec": marker_sec,
                 "host_marker_bw_sec": marker_bw_sec,
+                "marker_normalized_sec": norm,
+                "bw_marker_normalized_sec": norm_bw,
+                "quiet_marker_ref_sec": QUIET_MARKER_SEC,
+                "quiet_bw_marker_ref_sec": QUIET_BW_MARKER_SEC,
+                "docs_per_sec_score_marker_normalized": round(
+                    PAGES_N / (score_sec * QUIET_MARKER_SEC / marker_sec), 1
+                ),
             }
         )
     )

@@ -192,6 +192,9 @@ def _verify_pairs(cand: DataFrame, sets: DataFrame, id_col: str, threshold: floa
     )
 
 
+DEFAULT_MAX_BAND_DF = 10_000
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -202,6 +205,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     union_exact_candidates: bool = False,
     hash_fn: str = "md5",
+    max_band_df: int | None = DEFAULT_MAX_BAND_DF,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash+LSH, verified with exact Jaccard.
 
@@ -218,6 +222,26 @@ def minhash_lsh_pairs(
     the ~(1-J^r)^b per-pair miss probability. Costs one extra self-join at
     fixture scale; leave off at web scale where the S-curve miss rate is
     the accepted contract.
+
+    ``max_band_df`` is the hot-band guardrail (ON by default, mirroring
+    ``ngram_jaccard_pairs``'s ``max_shingle_df``): a corpus with massive
+    exact-duplicate families — the realistic CommonCrawl shape whenever
+    ``exact_dedup`` was skipped — puts the whole family into the SAME
+    bucket of EVERY band, and the pairwise band self-join detonates at
+    O(family²) per band. A (band_id, key) bucket holding more than
+    ``max_band_df`` docs is therefore routed through exact_dedup-style
+    STAR grouping instead of pairwise expansion: the bucket's min-id doc
+    becomes the representative and only (rep, member) edges are emitted —
+    O(family), connectivity-preserving (downstream
+    ``near_dup_components`` / keep-list results are identical for true
+    duplicate families, where every star edge verifies at jaccard 1.0).
+    The honest contract change: within a CAPPED bucket, member↔member
+    pairs are not individually emitted, and a member whose similarity to
+    the REPRESENTATIVE is below ``threshold`` loses its (probabilistic)
+    candidacy from that bucket — the standard production LSH tradeoff.
+    Size the exposure before paying for the join with
+    :func:`band_df_report` (``hot_buckets == 0`` ⇒ the capped run is
+    exactly the uncapped result). Pass ``None`` to disable.
     """
     sets = _shingle_sets(df, id_col, text_col, shingle)
     # Two-step projection (shingles → signature → bands) so each band key
@@ -240,14 +264,32 @@ def minhash_lsh_pairs(
     # the outer variant is semantically identical and keeps the heavy
     # expression above the exchange.
     melted = bands.select("_id", F.posexplode_outer("_bands").alias("band_id", "key"))
+    star = None
+    if max_band_df is not None:
+        # Hot-bucket split. The bucket-size agg is count-shaped and
+        # map-side combinable (partial agg collapses each hot bucket to
+        # one row per input partition before the shuffle), and the hot
+        # list is tiny by definition — broadcast back onto melted, so the
+        # split itself adds zero shuffles to the document stream.
+        hot = (
+            melted.groupBy("band_id", "key")
+            .agg(F.count(F.lit(1)).alias("_bdf"), F.min("_id").alias("_rep"))
+            .filter(F.col("_bdf") > max_band_df)
+            .select("band_id", "key", "_rep")
+        )
+        marked = melted.join(F.broadcast(hot), ["band_id", "key"], "left")
+        star = (
+            marked.filter(F.col("_rep").isNotNull() & (F.col("_id") != F.col("_rep")))
+            # _rep is the bucket min ⇒ id1 < id2 holds by construction
+            .select(F.col("_rep").alias("id1"), F.col("_id").alias("id2"))
+        )
+        melted = marked.filter(F.col("_rep").isNull()).select("_id", "band_id", "key")
     a = melted.select(F.col("_id").alias("id1"), "band_id", "key")
     b = melted.select(F.col("_id").alias("id2"), "band_id", "key")
-    cand = (
-        a.join(b, ["band_id", "key"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        .distinct()
-    )
+    cand = a.join(b, ["band_id", "key"]).filter(F.col("id1") < F.col("id2")).select("id1", "id2")
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.distinct()
     if union_exact_candidates:
         inv = sets.select("_id", F.explode_outer("_sh").alias("shingle")).filter(
             F.col("shingle").isNotNull()
@@ -259,6 +301,51 @@ def minhash_lsh_pairs(
         )
         cand = cand.unionByName(exact_cand).distinct()
     return _verify_pairs(cand, sets, id_col, threshold)
+
+
+def band_df_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = DEFAULT_NUM_PERM,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    shingle: int = DEFAULT_SHINGLE,
+    max_band_df: int | None = DEFAULT_MAX_BAND_DF,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Bucket-occupancy report for the ``max_band_df`` guardrail: one row
+    quantifying the LSH band self-join BEFORE you pay for it —
+    ``uncapped_candidates`` (Σ per-bucket C(df,2), what the pairwise join
+    would generate) vs ``capped_candidates`` (hot buckets contribute df-1
+    star edges instead). ``hot_buckets == 0`` certifies a capped
+    :func:`minhash_lsh_pairs` run identical to the uncapped one; a large
+    uncapped/capped ratio is the duplicate-family detonation the cap
+    defuses. Same one-cheap-agg shape as :func:`shingle_df_report` /
+    ``similarity.grid_occupancy_report``.
+    """
+    sets = _shingle_sets(df, id_col, text_col, shingle)
+    sig = sets.select(
+        "_id", minhash_signature_expr(F.col("_sh"), num_perm, hash_fn).alias("_sig")
+    )
+    bands = sig.select(
+        "_id", lsh_band_keys_expr(F.col("_sig"), num_perm, rows_per_band).alias("_bands")
+    )
+    melted = bands.select("_id", F.posexplode_outer("_bands").alias("band_id", "key"))
+    freq = melted.groupBy("band_id", "key").agg(F.count(F.lit(1)).alias("bdf"))
+    cap = F.lit(max_band_df if max_band_df is not None else 2**62)
+    # C(df,2) without a double round-trip: df*(df-1) is even, shiftright
+    # by 1 is exact integer halving (a `/ 2` would detour through double
+    # and lose exactness above 2^53 — these are 10^12-doc-scale counters)
+    pairwise = F.shiftright(F.col("bdf") * (F.col("bdf") - F.lit(1)), 1)
+    return freq.agg(
+        F.count(F.lit(1)).alias("total_buckets"),
+        F.sum((F.col("bdf") > cap).cast("long")).alias("hot_buckets"),
+        F.max("bdf").alias("max_bucket_docs"),
+        F.sum(pairwise).alias("uncapped_candidates"),
+        F.sum(
+            F.when(F.col("bdf") > cap, F.col("bdf") - F.lit(1)).otherwise(pairwise)
+        ).alias("capped_candidates"),
+    )
 
 
 DEFAULT_MAX_SHINGLE_DF = 10_000

@@ -108,9 +108,16 @@ def token_budget_sample(
             break
         if mode == "prio":
             span = cur_hi - cur_lo
-            if span <= 0.0:  # float underflow: ties in all but name
-                mode = "hash"
-                continue
+            if span <= 0.0:
+                # Float underflow of the zoomed sub-range. If the boundary
+                # bin still held >1 distinct priority (ndp>1 — priorities
+                # distinct but closer than float resolution), hash-mode
+                # refinement would ignore priority ORDER and break the
+                # documented exact (priority DESC, md5 ASC) semantics;
+                # fall through to the final sort, which orders by the raw
+                # priority. (ndp<=1 never reaches here — it switches to
+                # hash mode at the boundary-bin bookkeeping below.)
+                break
             raw = F.floor((F.col("priority") - F.lit(cur_lo)) / F.lit(span) * F.lit(bins))
             key = F.least(F.greatest(raw.cast("long"), F.lit(0)), F.lit(bins - 1))
             descending = True

@@ -327,8 +327,16 @@ class QualityFilterPipeline:
             # shuffle subtree (the repartition below the write) with an
             # empty LocalRelation, so CollectMetrics never runs and the
             # observation row comes back schemaless (toPyRow asserts).
-            # Only an empty result takes this path — any written row
-            # produces real metrics — so empty aggregates are the truth.
+            # Don't TRUST that diagnosis — VERIFY it: score_pages is a pure
+            # row-preserving transform, so written-rows == batch-rows, and
+            # an empty batch is checkable with one pushed-filter limit-1
+            # scan (no model UDFs run — the probe is on the pre-scoring
+            # batch). If the batch has rows, the observation failed for a
+            # different reason and marking the run completed would silently
+            # drop the months from the manifest while parquet data sits on
+            # disk — fail loudly instead.
+            if batch.limit(1).count() > 0:
+                raise
             obs_row = {}
         months_written = sorted(obs_row.get("months") or [])
         fingerprint = fingerprint_digest(obs_row)

@@ -81,15 +81,21 @@ def main(argv: list[str] | None = None) -> int:
     else:
         ap.error("one of --input / --synth is required")
 
+    deduped = None
     if args.dedup_against:
         from data_profiler_spark.operators.dedup import incremental_dedup
 
         hashes = spark.read.parquet(args.dedup_against)
-        pages = incremental_dedup(pages, hashes, corpus_is_hashes=True)
-        pages.select("content_hash").write.mode("overwrite").parquet(
+        # persist BEFORE the two consumers: the new_content_hashes write
+        # and the scoring write below would otherwise each re-execute the
+        # full dedup plan (sha256 + window + anti-join over the batch) —
+        # doubling the cost of the stage whose purpose is to gate the
+        # expensive model stage. The hashes write materializes the cache.
+        deduped = incremental_dedup(pages, hashes, corpus_is_hashes=True).persist()
+        deduped.select("content_hash").write.mode("overwrite").parquet(
             f"{args.output}/new_content_hashes"
         )
-        pages = pages.drop("content_hash")
+        pages = deduped.drop("content_hash")
 
     pipe = QualityFilterPipeline(
         spark,
@@ -98,6 +104,8 @@ def main(argv: list[str] | None = None) -> int:
         salt_buckets=args.salt_buckets,
     )
     res = pipe.run(pages, run_id=args.run_id)
+    if deduped is not None:
+        deduped.unpersist()
     print(
         json.dumps(
             {

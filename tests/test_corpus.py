@@ -78,6 +78,43 @@ def test_line_dedup_max_occurrences_threshold(spark):
     assert got == {i: 0 for i in range(6)}
 
 
+def test_line_dedup_oracle_parity_with_null_text(spark, tmp_path):
+    """Regression for the latent Spark/DuckDB-oracle divergence on
+    null-text docs (round-3 ADVICE): DuckDB's string_split(NULL) unnests
+    to zero rows, so the old oracle silently DROPPED null-text docs while
+    Spark kept them with NULL clean_text. The oracle now LEFT JOINs from
+    the base table — hash-compare both engines on a fixture that actually
+    contains a null text (the driver's sf0.01 fixture has none)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    # store with ' a ' in place of newlines: both the Spark query fn and
+    # the oracle derive multi-line text via replace(' a ' -> newline)
+    docs = [(i, t.replace("\n", " a ") if t is not None else None) for i, t in _DOCS]
+    pq = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    oracles = entry.oracle_sql()
+    for name, qfn in (
+        ("line_dedup_docs", entry.q_line_dedup_docs),
+        ("line_dedup_within", entry.q_line_dedup_within),
+    ):
+        got = {
+            r["doc_id"]: (r["clean_text"], r["lines_kept"], r["lines_dropped"])
+            for r in qfn(spark, str(tmp_path)).collect()
+        }
+        want = {
+            did: (ct, int(k), int(d))
+            for did, ct, k, d in con.execute(oracles[name]).fetchall()
+        }
+        assert got == want, name
+        assert got[5] == (None, 0, 0), name  # the null-text doc survives
+
+
 def test_line_counts_first_occurrence(spark):
     df = spark.createDataFrame(_DOCS, "doc_id long, text string")
     rows = {r["line"]: r for r in corpus.line_counts(df, min_chars=5).collect()}

@@ -35,6 +35,49 @@ def test_minhash_lsh_matches_exact_join(docs):
     assert len(exact) > 0  # fixture contains real near-dups
 
 
+def test_minhash_hot_band_cap_stays_linear_in_family(spark):
+    """max_band_df guardrail: a 1000-doc exact-duplicate family (the
+    CommonCrawl shape when exact_dedup was skipped) floods one bucket of
+    every band; uncapped, the band self-join would expand it to
+    C(1000,2) ≈ 5·10^5 candidate pairs PER BAND. With the cap the family
+    is routed through star grouping: exactly family-1 verified edges,
+    O(family) not O(family²), and connectivity (hence downstream
+    components / keep-lists) is preserved."""
+    family = [(i, "massive duplicated boilerplate page body text here") for i in range(1000)]
+    singles = [
+        (2000, "one of a kind document alpha content"),
+        (2001, "entirely different beta content words"),
+    ]
+    df = spark.createDataFrame(family + singles, "doc_id long, text string")
+
+    report = dedup.band_df_report(df, max_band_df=32).collect()[0]
+    assert report["hot_buckets"] >= 1
+    assert report["max_bucket_docs"] == 1000
+    # the report's capped projection is linear in the family, not quadratic
+    assert report["capped_candidates"] < 10 * 1000
+    assert report["uncapped_candidates"] >= 8 * (1000 * 999) // 2
+
+    pairs = dedup.minhash_lsh_pairs(df, threshold=0.8, max_band_df=32)
+    rows = pairs.collect()
+    # star edges only: (rep=0, member) for every family member, jaccard 1.0
+    assert len(rows) == 999
+    assert {(r["id1"], r["id2"]) for r in rows} == {(0, i) for i in range(1, 1000)}
+    assert all(r["jaccard"] == 1.0 for r in rows)
+    # connectivity preserved: one component holding the whole family
+    comp = dedup.near_dup_components(pairs).collect()
+    assert {r["doc_id"] for r in comp} == set(range(1000))
+    assert {r["group_id"] for r in comp} == {0}
+
+
+def test_minhash_band_cap_noop_below_threshold(docs):
+    """On the real fixture (no >10k families) the default cap is a no-op:
+    capped result == uncapped result, certifying hot_buckets == 0 ⇒
+    identical output."""
+    capped = _pairs(dedup.minhash_lsh_pairs(docs, threshold=0.8, max_band_df=dedup.DEFAULT_MAX_BAND_DF))
+    uncapped = _pairs(dedup.minhash_lsh_pairs(docs, threshold=0.8, max_band_df=None))
+    assert capped == uncapped
+
+
 def test_ngram_jaccard_df_cap_keeps_high_sim_pairs(docs):
     """Dropping ultra-frequent shingles from candidate generation must not
     lose high-similarity pairs (they share rare shingles too)."""
