@@ -424,12 +424,15 @@ def q_ngram_jaccard_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the exact near-dup pair graph (J >= 0.8):
     (doc_id, group_id=min id of component) — oracle is a DuckDB recursive
-    transitive closure over the same pairs."""
+    transitive closure over the same pairs. Runs the large-star/small-star
+    engine so the driver oracle-checks that path; the pointer-jumping
+    engine is oracle-checked through near_dup_keep and value-compared
+    against star in tests/test_dedup_similarity.py."""
     from data_profiler_spark.operators import dedup
 
     df = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.8, max_shingle_df=None)
-    return dedup.near_dup_components(pairs).orderBy("doc_id")
+    return dedup.near_dup_components(pairs, method="star").orderBy("doc_id")
 
 
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -968,6 +971,52 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, tk, seq_len=1024).orderBy("doc_id")
 
 
+def q_corpus_clean_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full corpus-clean COMPOSITION oracle (jobs/corpus_clean_job.py):
+    exact dedup → benchmark decontamination → normalize → repeated-span
+    drop → cross-corpus line dedup → heuristic quality score, checked as
+    ONE chain because per-stage greenness doesn't imply composed
+    greenness (e.g. normalization changes the hashes the dedup stages key
+    on, and dropping a duplicate family changes every later corpus-wide
+    count). Same derived multi-line text and eval split as the per-stage
+    oracles; output is the FINAL surviving doc set with clean-text hash,
+    line-dedup counts, and the per-doc score."""
+    from data_profiler_spark.functions.textanalysis import (
+        normalize_text_expr,
+        quality_score_expr,
+    )
+    from data_profiler_spark.operators import corpus, dedup
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.replace(F.col("text"), F.lit(" a "), F.lit("\n")).alias("text")
+    )
+    # 1. exact dedup first (cheapest): keep the min-id copy per content
+    keep0 = dedup.exact_dedup(base).select(F.col("kept_id").alias("doc_id"))
+    corp = base.join(keep0, "doc_id")
+    # 2. decontaminate vs the doc_id % 97 == 0 eval slice
+    evl = corp.filter(F.pmod("doc_id", F.lit(97)) == 0)
+    corp = corp.filter(F.pmod("doc_id", F.lit(97)) != 0)
+    rep = corpus.contamination_report(corp, evl, n=3)
+    corp = corp.join(rep.filter("contaminated").select("doc_id"), "doc_id", "left_anti")
+    # 3. normalize (whitespace canonicalization changes later dedup keys)
+    corp = corp.select("doc_id", normalize_text_expr(F.col("text")).alias("text"))
+    # 4. drop docs dominated by cross-document repeated spans
+    srep = corpus.duplicated_span_report(corp, window=15, stride=5)
+    corp = corp.join(
+        srep.filter(F.col("dup_frac") >= 0.5).select("doc_id"), "doc_id", "left_anti"
+    )
+    # 5. corpus-wide line dedup over the survivors
+    cleaned = corpus.line_dedup(corp, max_occurrences=1, min_chars=5)
+    # 6. score the cleaned text
+    return cleaned.select(
+        "doc_id",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_hash"),
+        "lines_kept",
+        "lines_dropped",
+        quality_score_expr(F.col("clean_text")).alias("score"),
+    ).orderBy("doc_id")
+
+
 def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/drift.py::quantile_buckets — exact decile assignment on
     n_chars (curriculum-mixing primitive; exact percentile, never approx)."""
@@ -1038,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_spans": q_duplicated_spans,
         "pack_sequences": q_pack_sequences,
         "quantile_buckets": q_quantile_buckets,
+        "corpus_clean_end_to_end": q_corpus_clean_end_to_end,
     }
 
 
@@ -2064,6 +2114,113 @@ _ORACLE["quantile_buckets"] = """
     FROM documents, cuts
     WHERE n_chars IS NOT NULL
     ORDER BY doc_id
+"""
+
+
+_ORACLE["corpus_clean_end_to_end"] = f"""
+    -- replay of the FULL corpus-clean chain (exact dedup → decontaminate
+    -- → normalize → span drop → line dedup → score); each stage's CTEs
+    -- mirror its standalone oracle, re-pointed at the previous stage's
+    -- survivor set so cross-stage interaction is what's being checked
+    WITH base AS (
+      SELECT doc_id, replace(text, ' a ', chr(10)) AS text FROM documents
+    ), keep0 AS (  -- exact dedup: min-id representative per content
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS m FROM base
+      ) WHERE doc_id = m
+    ), toks0 AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t
+      FROM keep0
+    ), ng AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))
+                  ELSE CAST([] AS VARCHAR[]) END AS gs
+      FROM toks0
+    ), ev AS (
+      SELECT DISTINCT unnest(gs) AS g FROM ng WHERE doc_id % 97 = 0
+    ), cont AS (
+      SELECT DISTINCT d.doc_id
+      FROM (SELECT doc_id, unnest(gs) AS g FROM ng WHERE doc_id % 97 <> 0) d
+      JOIN ev USING (g)
+    ), surv1 AS (
+      SELECT k.doc_id, k.text FROM keep0 k
+      WHERE k.doc_id % 97 <> 0 AND k.doc_id NOT IN (SELECT doc_id FROM cont)
+    ), norm AS (
+      SELECT doc_id, {_normalize_sql("text")} AS text FROM surv1
+    ), stoks AS (
+      SELECT doc_id,
+             (list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                          x -> x <> ''))[1:50000] AS t
+      FROM norm
+    ), hs AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 15
+                  THEN list_transform(range(1, len(t) - 13),
+                                      i -> md5(array_to_string(t[i:i+14], ' ')))
+                  ELSE CAST([] AS VARCHAR[]) END AS hall
+      FROM stoks
+    ), sp AS (
+      SELECT doc_id,
+             CASE WHEN len(hall) = 0 THEN CAST([] AS VARCHAR[])
+                  WHEN len(hall) <= 5 THEN [list_min(hall)]
+                  ELSE list_distinct(list_transform(range(1, len(hall) - 3),
+                                                    j -> list_min(hall[j:j+4])))
+             END AS fps
+      FROM hs
+    ), e AS (
+      SELECT doc_id, unnest(fps) AS h FROM sp
+    ), c AS (
+      SELECT h, count(DISTINCT doc_id) AS docs FROM e GROUP BY h
+    ), per AS (
+      SELECT e.doc_id, count(*) AS spans,
+             sum(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END) AS dup
+      FROM e JOIN c USING (h) GROUP BY e.doc_id
+    ), surv2 AS (
+      SELECT n.doc_id, n.text
+      FROM norm n LEFT JOIN per USING (doc_id)
+      WHERE CASE WHEN coalesce(per.spans, 0) > 0
+                 THEN per.dup::DOUBLE / per.spans ELSE 0.0 END < 0.5
+    ), l AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+             unnest(string_split(text, chr(10))) AS line
+      FROM surv2 WHERE text IS NOT NULL
+    ), k AS (
+      SELECT doc_id, pos, line,
+             CASE WHEN len(line) < 5 THEN TRUE
+                  WHEN count(*) OVER (PARTITION BY line) <= 1 THEN TRUE
+                  WHEN row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1 THEN TRUE
+                  ELSE FALSE END AS keep
+      FROM l
+    ), agg AS (
+      SELECT doc_id,
+             coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS clean_text,
+             count(*) FILTER (WHERE keep) AS lines_kept,
+             count(*) FILTER (WHERE NOT keep) AS lines_dropped
+      FROM k GROUP BY doc_id
+    ), final AS (
+      SELECT s.doc_id, a.clean_text,
+             coalesce(a.lines_kept, 0) AS lines_kept,
+             coalesce(a.lines_dropped, 0) AS lines_dropped
+      FROM surv2 s LEFT JOIN agg a USING (doc_id)
+    ), qt AS (
+      SELECT doc_id, clean_text, lines_kept, lines_dropped,
+             list_filter(string_split_regex(clean_text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks,
+             len(regexp_extract_all(clean_text, '{_PUNCT_RE_SQL}')) AS punct
+      FROM final
+    )
+    SELECT doc_id, md5(clean_text) AS clean_hash, lines_kept, lines_dropped,
+           round((
+             (CASE WHEN len(toks) BETWEEN 10 AND 20000 THEN 1.0 ELSE 0.0 END)
+             + least(len(list_intersect({_STOP10_SQL}, list_transform(toks, x -> lower(x))))::DOUBLE / 5.0, 1.0)
+             + (CASE WHEN len(toks) > 0
+                     THEN len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / len(toks)
+                     ELSE 0.0 END)
+             + greatest(0.0, 1.0 - (CASE WHEN len(toks) > 0 THEN punct::DOUBLE / len(toks) ELSE 1.0 END))
+           ) / 4.0, 6) AS score
+    FROM qt ORDER BY doc_id
 """
 
 

@@ -52,6 +52,9 @@ SCALE_LO, SCALE_HI = (int(x) for x in _SCALE_CORES.split(","))
 # comparisons don't require adjudicating host-noise bursts by hand.
 QUIET_MARKER_SEC = 0.75
 QUIET_BW_MARKER_SEC = 0.255
+# volume for the skew-stress twins (uniform vs skewed fixture timed on
+# the same operator set); smaller than PAGES_N to bound suite runtime
+SKEW_N = int(os.environ.get("SPARK_GRAFT_SKEW_N", "10000"))
 
 def _minhash_prod(spark, sf_dir):
     """Production-config MinHash+LSH: xxhash64 numeric minhashes, pure
@@ -375,9 +378,81 @@ def main() -> None:
         t0 = time.time()
         score_pages(pages).write.mode("overwrite").format("noop").save()
         score_sec = min(score_sec, time.time() - t0)
-    pages.unpersist()
     timings["quality_filter_score"] = round(score_sec, 3)
     print(f"# quality_filter_score: {score_sec:.2f}s", file=sys.stderr, flush=True)
+
+    # ---- skew-stress entries (VERDICT r3 #1): the same operators timed
+    # on the uniform fixture vs synth.skewed_pages_df (hot host ~35 %,
+    # cross-doc boilerplate lines, a ~10 % exact-duplicate family). The
+    # *_skew/*_uniform RATIO is the measured evidence that the skew
+    # defenses (map-side-combinable line counts, max_band_df star routing,
+    # url-hash salting) hold — not just the design assertion. Same volume
+    # both sides (SKEW_N, smaller than PAGES_N to keep the suite fast);
+    # suite convention: warm pass, then one timed pass.
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.operators.corpus import line_dedup
+    from data_profiler_spark.operators.dedup import minhash_lsh_pairs
+    from data_profiler_spark.pipeline import NULL_MONTH, url_salt
+    from data_profiler_spark.synth import skewed_pages_df
+
+    skew = skewed_pages_df(spark, SKEW_N, partitions=CPUS * 2).cache()
+    skew.count()
+    # fresh generation, not pages.limit(SKEW_N): limit would collapse the
+    # plan to ~one partition and the twin would time the collapse, not
+    # the operator
+    uniform = pages_df(spark, SKEW_N, partitions=CPUS * 2).cache()
+    uniform.count()
+
+    def _force_line_dedup(df):
+        # aggregate referencing clean_text so column pruning can't skip
+        # the per-doc regroup; result is one driver row
+        return (
+            line_dedup(df.select("doc_id", "text"))
+            .agg(F.sum(F.length("clean_text")), F.sum("lines_dropped"))
+            .collect()
+        )
+
+    def _force_minhash(df):
+        # production config: xxhash64 minhashes, banded candidates, the
+        # max_band_df=256 guardrail live (the skew fixture's duplicate
+        # family floods every band bucket without it)
+        return (
+            minhash_lsh_pairs(
+                df, "doc_id", "text", hash_fn="xxhash64", threshold=0.8, max_band_df=256
+            )
+            .agg(F.count(F.lit(1)), F.sum("jaccard"))
+            .collect()
+        )
+
+    def _salted_write(df):
+        month = F.coalesce(F.date_format("warc_ts", "yyyy-MM"), F.lit(NULL_MONTH))
+        out = (
+            score_pages(df)
+            .withColumn("month", month)
+            .withColumn("salt", url_salt(256))
+        )
+        out.repartition(F.col("month"), F.col("salt")).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
+    for name, fn, df in [
+        ("line_dedup_uniform_pages", _force_line_dedup, uniform),
+        ("line_dedup_skew_pages", _force_line_dedup, skew),
+        ("minhash_uniform_pages", _force_minhash, uniform),
+        ("minhash_skew_pages", _force_minhash, skew),
+        ("salted_write_uniform_pages", _salted_write, uniform),
+        ("salted_write_skew_pages", _salted_write, skew),
+    ]:
+        fn(df)  # warm: codegen + python workers + page cache
+        t0 = time.time()
+        fn(df)
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
+    skew.unpersist()
+    if uniform is not pages:
+        uniform.unpersist()
+    pages.unpersist()
 
     total = round(sum(timings.values()), 3)
     # Marker-normalized totals: scale the wall time to what a QUIET host
@@ -390,6 +465,13 @@ def main() -> None:
     # flags a bandwidth-throttled window (bw marker degrades much more).
     norm = round(total * QUIET_MARKER_SEC / marker_sec, 3)
     norm_bw = round(total * QUIET_BW_MARKER_SEC / marker_bw_sec, 3)
+    # skew resilience: >1 means the skewed fixture costs more than the
+    # uniform one on the same operator at the same volume (same window,
+    # so host noise largely cancels within each pair)
+    skew_ratios = {
+        op: round(timings[f"{op}_skew_pages"] / timings[f"{op}_uniform_pages"], 3)
+        for op in ("line_dedup", "minhash", "salted_write")
+    }
     print(
         json.dumps(
             {
@@ -409,6 +491,8 @@ def main() -> None:
                 "docs_per_sec_score_marker_normalized": round(
                     PAGES_N / (score_sec * QUIET_MARKER_SEC / marker_sec), 1
                 ),
+                "skew_n": SKEW_N,
+                "skew_vs_uniform_ratio": skew_ratios,
             }
         )
     )

