@@ -445,9 +445,16 @@ def main() -> None:
         ("salted_write_skew_pages", _salted_write, skew),
     ]:
         fn(df)  # warm: codegen + python workers + page cache
-        t0 = time.time()
-        fn(df)
-        timings[name] = round(time.time() - t0, 3)
+        # min-of-2 timed passes: the skew/uniform RATIO is the artifact,
+        # and a single host-noise burst on one twin fabricates a skew
+        # "regression" (measured: a 2.1× salted-write ratio in one
+        # contended window that a quiet re-run showed was ~1.0)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(df)
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
     skew.unpersist()
     if uniform is not pages:

@@ -1,0 +1,179 @@
+"""Run lifecycle CLI — the library-shape twin of the reference's REST
+polling surface (``api/routers/runs.py``: list_runs :98, get_run_status
+:964, get_candidate_keys :1534, confirm_keys :1628). The engine keeps the
+reference's observable run state (manifest.json with queued → processing
+→ completed stage transitions + progress fraction, append-only audit
+JSONL) but exposes it as files + this CLI instead of HTTP — a user who
+polled ``GET /runs/{id}/status`` polls ``runs_cli.py status <run_dir>``;
+everything is read from the manifest the pipeline already maintains, so
+the CLI adds NO new engine state.
+
+Subcommands (all print one JSON document to stdout):
+
+  list <workspace_root> [--limit N]     runs under a workspace, newest first
+  status <run_dir>                      one run's manifest + audit tail
+  candidate-keys <parquet> [--cols ...] scored key candidates (A19)
+  confirm-keys <parquet> --keys a,b     duplicate groups on a confirmed key
+                                        (A20; null-key rows skip-and-count)
+
+The two key subcommands run Spark (one agg / one groupBy — see
+``operators/keys.py``); ``list``/``status`` are pure file reads and never
+start a session, so polling a long run costs nothing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def _read_json(path: str) -> dict | None:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _run_summary(run_dir: str) -> dict | None:
+    m = _read_json(os.path.join(run_dir, "manifest.json"))
+    if m is None:
+        return None
+    stages = m.get("stages", [])
+    return {
+        "run_id": m.get("run_id"),
+        "path": run_dir,
+        "state": m.get("state"),
+        "progress": m.get("progress", 0.0),
+        "months_committed": len(m.get("completed_batches", {})),
+        # the pipeline nests per-month counters under "metrics"; accept a
+        # flat "rows" too so hand-rolled manifests stay listable
+        "rows": sum(
+            ((b or {}).get("metrics") or {}).get("rows", (b or {}).get("rows", 0))
+            for b in m.get("completed_batches", {}).values()
+        ),
+        "last_stage": stages[-1]["stage"] if stages else None,
+        "updated_at": max(
+            (s.get("finished_at") or s.get("started_at") or "" for s in stages),
+            default=None,
+        ),
+    }
+
+
+def cmd_list(args) -> dict:
+    root = args.workspace_root
+    runs = []
+    for name in sorted(os.listdir(root)):
+        d = os.path.join(root, name)
+        if os.path.isdir(d):
+            s = _run_summary(d)
+            if s is not None:
+                runs.append(s)
+    runs.sort(key=lambda r: (r["updated_at"] or "", r["path"]), reverse=True)
+    return {"workspace": root, "runs": runs[: args.limit]}
+
+
+def cmd_status(args) -> dict:
+    m = _read_json(os.path.join(args.run_dir, "manifest.json"))
+    if m is None:
+        raise SystemExit(f"no manifest.json under {args.run_dir}")
+    audit_tail: list[dict] = []
+    apath = os.path.join(args.run_dir, "audit.jsonl")
+    if os.path.exists(apath):
+        with open(apath) as f:
+            audit_tail = [json.loads(line) for line in f.readlines()[-args.audit_tail :]]
+    return {"manifest": m, "audit_tail": audit_tail}
+
+
+def _session(cores: int | None):
+    from jobs.quality_filter_job import build_session
+
+    return build_session("runs-cli", cores)
+
+
+def cmd_candidate_keys(args) -> dict:
+    from data_profiler_spark.operators import keys
+
+    spark = _session(args.local_cores)
+    df = spark.read.parquet(args.parquet)
+    cols = [c.strip() for c in args.cols.split(",")] if args.cols else None
+    cands = keys.candidate_keys(
+        df,
+        cols=cols,
+        max_width=args.max_width,
+        min_score=args.min_score,
+        top=args.top,
+    )
+    return {
+        "input": args.parquet,
+        "candidates": [
+            {
+                "columns": list(c.columns),
+                "distinct_ratio": round(c.distinct_ratio, 6),
+                "null_ratio_sum": round(c.null_ratio_sum, 6),
+                "score": round(c.score, 6),
+            }
+            for c in cands
+        ],
+    }
+
+
+def cmd_confirm_keys(args) -> dict:
+    from data_profiler_spark.operators import keys
+
+    spark = _session(args.local_cores)
+    df = spark.read.parquet(args.parquet)
+    key_cols = [c.strip() for c in args.keys.split(",") if c.strip()]
+    groups = keys.duplicate_groups(df, key_cols, top=args.top, id_col=args.id_col)
+    skipped = keys.null_key_count(df, key_cols)
+    return {
+        "input": args.parquet,
+        "key_columns": key_cols,
+        "null_key_rows_skipped": skipped,
+        "duplicate_groups": [r.asDict() for r in groups.collect()],
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="run lifecycle CLI")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("list")
+    p.add_argument("workspace_root")
+    p.add_argument("--limit", type=int, default=20)
+    p.set_defaults(fn=cmd_list)
+
+    p = sub.add_parser("status")
+    p.add_argument("run_dir")
+    p.add_argument("--audit-tail", type=int, default=10)
+    p.set_defaults(fn=cmd_status)
+
+    p = sub.add_parser("candidate-keys")
+    p.add_argument("parquet")
+    p.add_argument("--cols", default=None, help="comma list (default: all columns)")
+    p.add_argument("--max-width", type=int, default=2)
+    p.add_argument("--min-score", type=float, default=0.5)
+    p.add_argument("--top", type=int, default=5)
+    p.add_argument("--local-cores", type=int, default=None)
+    p.set_defaults(fn=cmd_candidate_keys)
+
+    p = sub.add_parser("confirm-keys")
+    p.add_argument("parquet")
+    p.add_argument("--keys", required=True, help="comma list of confirmed key columns")
+    p.add_argument("--id-col", default=None)
+    p.add_argument("--top", type=int, default=10)
+    p.add_argument("--local-cores", type=int, default=None)
+    p.set_defaults(fn=cmd_confirm_keys)
+
+    args = ap.parse_args(argv)
+    print(json.dumps(args.fn(args), indent=2, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
