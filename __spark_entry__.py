@@ -1419,9 +1419,9 @@ def _band_df_report_sql(num_perm: int = 16, rows_per_band: int = 2, cap: int = 3
     SELECT count(*)::BIGINT AS total_buckets,
            sum(CASE WHEN bdf > {cap} THEN 1 ELSE 0 END)::BIGINT AS hot_buckets,
            max(bdf)::BIGINT AS max_bucket_docs,
-           sum(bdf * (bdf - 1) // 2)::BIGINT AS uncapped_candidates,
+           sum(bdf * (bdf - 1) // 2)::DECIMAL(38,0) AS uncapped_candidates,
            sum(CASE WHEN bdf > {cap} THEN bdf - 1
-                    ELSE bdf * (bdf - 1) // 2 END)::BIGINT AS capped_candidates
+                    ELSE bdf * (bdf - 1) // 2 END)::DECIMAL(38,0) AS capped_candidates
     FROM f
     """
 

@@ -380,6 +380,10 @@ def main() -> None:
         score_sec = min(score_sec, time.time() - t0)
     timings["quality_filter_score"] = round(score_sec, 3)
     print(f"# quality_filter_score: {score_sec:.2f}s", file=sys.stderr, flush=True)
+    # release the 200k-page cache BEFORE the skew twins: their published
+    # artifact is a ratio, and gigabytes of unrelated cached blocks
+    # competing for storage memory is avoidable noise on it
+    pages.unpersist()
 
     # ---- skew-stress entries (VERDICT r3 #1): the same operators timed
     # on the uniform fixture vs synth.skewed_pages_df (hot host ~35 %,
@@ -457,9 +461,7 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
     skew.unpersist()
-    if uniform is not pages:
-        uniform.unpersist()
-    pages.unpersist()
+    uniform.unpersist()
 
     total = round(sum(timings.values()), 3)
     # Marker-normalized totals: scale the wall time to what a QUIET host

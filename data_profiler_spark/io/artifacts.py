@@ -133,7 +133,9 @@ def _hist_svg(bins: list[tuple[Any, Any, int]], width: int = 420, height: int = 
     if not bins:
         return ""
     peak = max(c for _, _, c in bins) or 1
-    bw = width // max(len(bins), 1)
+    # clamp: >width/2 bins would give zero/negative rect widths (invalid
+    # SVG — browsers drop the rects and the chart renders blank)
+    bw = max(3, width // max(len(bins), 1))
     bars = []
     for i, (lo, hi, cnt) in enumerate(bins):
         h = max(1, round((height - 14) * cnt / peak))
@@ -212,6 +214,10 @@ def write_html_report(
             parts.append("</table>")
     parts.append("</div></body></html>")
     path = os.path.join(out_dir, "report.html")
-    with open(path, "w") as f:
+    # explicit utf-8: html.escape leaves non-ASCII text alone, and a
+    # C/POSIX-locale container (spark-submit default) would otherwise
+    # UnicodeEncodeError on the first non-ASCII top value — after the
+    # whole profiling job already ran
+    with open(path, "w", encoding="utf-8") as f:
         f.write("".join(parts))
     return path

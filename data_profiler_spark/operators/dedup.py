@@ -242,6 +242,17 @@ def minhash_lsh_pairs(
     Size the exposure before paying for the join with
     :func:`band_df_report` (``hot_buckets == 0`` ⇒ the capped run is
     exactly the uncapped result). Pass ``None`` to disable.
+
+    Cost shape with the cap on: the hot-bucket agg is a SECOND consumer
+    of the band stream (the self-join's a/b exchanges canonicalize and
+    reuse, so they count as one), which would re-run the dominant
+    shingle→minhash computation over the full text. To avoid that, the
+    per-doc ``bands`` projection (num_perm longs + band keys, ~hundreds
+    of bytes/doc vs the ~KB text it derives from) is materialized via a
+    lazy ``localCheckpoint`` so every consumer reads it instead of
+    recomputing — executor-local storage traded for a full signature
+    pass. The uncapped path has a single consumer chain and skips the
+    checkpoint entirely.
     """
     sets = _shingle_sets(df, id_col, text_col, shingle)
     # Two-step projection (shingles → signature → bands) so each band key
@@ -263,6 +274,10 @@ def minhash_lsh_pairs(
     # signature computation. The bands array is a literal-width F.array, so
     # the outer variant is semantically identical and keeps the heavy
     # expression above the exchange.
+    if max_band_df is not None:
+        # Two consumers below (hot agg + self-join) — materialize the
+        # small per-doc band projection so neither re-runs the minhash.
+        bands = bands.localCheckpoint(eager=False)
     melted = bands.select("_id", F.posexplode_outer("_bands").alias("band_id", "key"))
     star = None
     if max_band_df is not None:
@@ -270,7 +285,11 @@ def minhash_lsh_pairs(
         # map-side combinable (partial agg collapses each hot bucket to
         # one row per input partition before the shuffle), and the hot
         # list is tiny by definition — broadcast back onto melted, so the
-        # split itself adds zero shuffles to the document stream.
+        # split itself adds zero shuffles to the document stream: hot
+        # buckets are excised BEFORE the join exchange ever hashes on
+        # (band_id, key), which is what keeps the join skew-free (a
+        # window/count-over-partition alternative would shuffle the hot
+        # bucket onto one task — exactly the pathology being defused).
         hot = (
             melted.groupBy("band_id", "key")
             .agg(F.count(F.lit(1)).alias("_bdf"), F.min("_id").alias("_rep"))
@@ -333,18 +352,21 @@ def band_df_report(
     melted = bands.select("_id", F.posexplode_outer("_bands").alias("band_id", "key"))
     freq = melted.groupBy("band_id", "key").agg(F.count(F.lit(1)).alias("bdf"))
     cap = F.lit(max_band_df if max_band_df is not None else 2**62)
-    # C(df,2) without a double round-trip: df*(df-1) is even, shiftright
-    # by 1 is exact integer halving (a `/ 2` would detour through double
-    # and lose exactness above 2^53 — these are 10^12-doc-scale counters)
-    pairwise = F.shiftright(F.col("bdf") * (F.col("bdf") - F.lit(1)), 1)
+    # C(df,2) in decimal(38,0), not long: one 10^10-doc duplicate family
+    # gives ~5e19 uncapped candidates > 2^63 — the exact detonation case
+    # this report exists to expose would overflow (ANSI exception, or a
+    # silent negative with ANSI off). Decimal keeps the count exact to
+    # 10^38; the product is even so the /2 is exact integer division.
+    bdf_dec = F.col("bdf").cast("decimal(38,0)")
+    pairwise = (bdf_dec * (bdf_dec - F.lit(1)) / F.lit(2)).cast("decimal(38,0)")
     return freq.agg(
         F.count(F.lit(1)).alias("total_buckets"),
         F.sum((F.col("bdf") > cap).cast("long")).alias("hot_buckets"),
         F.max("bdf").alias("max_bucket_docs"),
-        F.sum(pairwise).alias("uncapped_candidates"),
-        F.sum(
-            F.when(F.col("bdf") > cap, F.col("bdf") - F.lit(1)).otherwise(pairwise)
-        ).alias("capped_candidates"),
+        F.sum(pairwise).cast("decimal(38,0)").alias("uncapped_candidates"),
+        F.sum(F.when(F.col("bdf") > cap, bdf_dec - F.lit(1)).otherwise(pairwise))
+        .cast("decimal(38,0)")
+        .alias("capped_candidates"),
     )
 
 
@@ -779,13 +801,18 @@ def _star_components_with_rounds(
             break
         sig = new_sig
     # star fixed point: every u points straight at its component min; the
-    # roots label themselves
+    # roots label themselves. The groupBy-min (a no-op at the fixed point,
+    # where each u has exactly one parent) guards the one-row-per-doc_id
+    # contract if max_iter exhausted before convergence — a non-star edge
+    # set would otherwise fan vertices with several parents into several
+    # conflicting rows, breaking dedup_keep_ids downstream.
     verts = pairs.select(F.col("id1").alias("doc_id")).unionByName(
         pairs.select(F.col("id2").alias("doc_id"))
     ).distinct()
+    parents = edges.groupBy(F.col("u").alias("doc_id")).agg(F.min("v").alias("_p"))
     return (
-        verts.join(edges.withColumnRenamed("u", "doc_id"), "doc_id", "left").select(
-            "doc_id", F.coalesce(F.col("v"), F.col("doc_id")).alias("group_id")
+        verts.join(parents, "doc_id", "left").select(
+            "doc_id", F.coalesce(F.col("_p"), F.col("doc_id")).alias("group_id")
         ),
         rounds,
     )

@@ -60,6 +60,13 @@ def main(argv: list[str] | None = None) -> int:
     string_cols = [c for c, t in df.dtypes if t == "string" and c not in free_text]
 
     prof = profiler.profile_table(df, numeric_cols, string_cols)
+    for c in args.histogram:
+        if c not in numeric_cols:
+            print(
+                f"WARNING: --histogram {c!r} skipped (not a numeric column of the "
+                f"input; numeric columns: {numeric_cols})",
+                file=sys.stderr,
+            )
     hists = {
         c: [(r["bin_lo"], r["bin_hi"], r["cnt"]) for r in profiler.histogram(df, c).collect()]
         for c in args.histogram

@@ -287,6 +287,22 @@ def test_star_components_chain_rounds(spark):
     assert rounds <= 12, f"chain took {rounds} star rounds (want O(log n))"
 
 
+def test_star_components_one_row_per_doc_on_exhaustion(spark):
+    """max_iter exhausted before the edge set reaches a star: the output
+    must STILL be one row per doc_id (groupBy-min parent guard) — a raw
+    left join against a non-star edge set would fan vertices with several
+    parents into conflicting rows and break dedup_keep_ids downstream."""
+    from data_profiler_spark.operators.dedup import _star_components_with_rounds
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id1 long, id2 long"
+    )
+    comp, _ = _star_components_with_rounds(chain, max_iter=1)
+    rows = comp.collect()
+    assert len(rows) == 201  # one row per vertex, even unconverged
+    assert len({r["doc_id"] for r in rows}) == 201
+
+
 def test_exact_dedup_partitions_rows(docs):
     """Every row lands in exactly one hash group; injected exact copies
     collapse into their source's group."""
