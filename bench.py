@@ -180,6 +180,26 @@ def _jvm_bw_marker(spark, cores: int) -> float:
     return best
 
 
+def _alloc_marker() -> float:
+    """First-touch page-fault reference: time to touch every page of a
+    FRESH 256 MB anonymous mapping (driver-side numpy; no Spark). On an
+    overcommitted hypervisor the host supplies new pages slowly under
+    outside load — measured in round 4: first-touch over 50 MB took 103 s
+    against 0.1 s re-touch, while the compute AND bandwidth markers read
+    flat and /proc PSI was zero. This marker is the only one of the three
+    that sees that failure mode, which is exactly the one that throttles
+    python-worker Arrow/numpy batch allocation (see session.py's
+    MALLOC_TRIM/MMAP pinning — the engine-side mitigation). Quiet
+    reference ~0.05-0.1 s."""
+    import numpy as np
+
+    t0 = time.time()
+    x = np.zeros(1 << 28, dtype=np.uint8)  # 256 MB, pages faulted on touch
+    x[::4096] = 1
+    del x
+    return time.time() - t0
+
+
 def _run_score_round(cores: int, n_docs: int) -> float:
     """Steady-state scoring throughput at ``local[cores]``: best timed run
     of score(cached pages) → noop sink. Excluded from the timed window:
@@ -246,18 +266,22 @@ def main() -> None:
         rounds: dict[str, list[float]] = {str(SCALE_LO): [], str(SCALE_HI): []}
         markers: dict[str, list[float]] = {str(SCALE_LO): [], str(SCALE_HI): []}
         bw_markers: dict[str, list[float]] = {str(SCALE_LO): [], str(SCALE_HI): []}
+        alloc_markers: list[float] = []
         ratios: dict[int, list[float]] = {SCALE_LO: [], SCALE_HI: []}
         n_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
         for _pair in range(n_pairs):
             for cores in (SCALE_LO, SCALE_HI):
                 elapsed, marker, bw_marker = _run_score_round(cores, SCALE_N)
+                alloc = _alloc_marker()
+                alloc_markers.append(round(alloc, 2))
                 results[cores] = min(results.get(cores, float("inf")), elapsed)
                 rounds[str(cores)].append(round(elapsed, 2))
                 markers[str(cores)].append(round(marker, 2))
                 bw_markers[str(cores)].append(round(bw_marker, 2))
                 ratios[cores].append(elapsed / marker)
                 print(
-                    f"# local[{cores}]: {elapsed:.2f}s (marker {marker:.2f}s, bw {bw_marker:.2f}s)",
+                    f"# local[{cores}]: {elapsed:.2f}s (marker {marker:.2f}s, "
+                    f"bw {bw_marker:.2f}s, alloc {alloc:.2f}s)",
                     file=sys.stderr,
                     flush=True,
                 )
@@ -294,6 +318,11 @@ def main() -> None:
                     # bandwidth-bound twin (sessions 6/7: local[8] rounds
                     # capped while the cache-resident marker stayed flat)
                     "jvm_bw_markers": bw_markers,
+                    # first-touch page-fault reference per round (quiet
+                    # ~0.05-0.1 s; round-4 discovery: hypervisor page
+                    # provisioning can stall 100x while BOTH jvm markers
+                    # read flat — this is the marker that sees it)
+                    "alloc_markers": alloc_markers,
                     # engine scaling relative to the same-window pure-JVM
                     # reference (host-noise-cancelled; >= 1.0 means the
                     # engine scales no worse than raw JVM compute)
@@ -351,6 +380,7 @@ def main() -> None:
     host_marker()  # codegen warm-up for the marker itself
     marker_sec = host_marker()
     marker_bw_sec = host_marker_bw()
+    alloc_marker_sec = round(_alloc_marker(), 3)
     qs = entry_mod.queries()
     qs.update(BENCH_OVERRIDES)
     timings: dict[str, float] = {}
@@ -493,6 +523,7 @@ def main() -> None:
                 "pages_n": PAGES_N,
                 "host_marker_sec": marker_sec,
                 "host_marker_bw_sec": marker_bw_sec,
+                "host_alloc_marker_sec": alloc_marker_sec,
                 "marker_normalized_sec": norm,
                 "bw_marker_normalized_sec": norm_bw,
                 "quiet_marker_ref_sec": QUIET_MARKER_SEC,

@@ -64,6 +64,21 @@ def get_spark(
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
+        # Retain python-worker allocator arenas: each Arrow/pandas-UDF
+        # batch allocates multi-MB numpy/Arrow buffers that glibc serves
+        # via mmap and returns to the OS on free, so EVERY batch re-pays
+        # first-touch page faults. On an overcommitted hypervisor those
+        # faults stall ~100× (measured here: first-touch cumsum over 50 MB
+        # 103 s vs 0.1 s re-touch, with flat CPU markers and zero PSI —
+        # the host supplies pages slowly under outside load). Disabling
+        # malloc trim and raising the mmap threshold keeps freed batch
+        # buffers in the worker's heap, paying the fault once per worker
+        # instead of once per batch: measured best-of-4 scoring 13.6 s →
+        # 9.3 s in a contended window (BASELINE.md round 4). Steady-state
+        # RSS is bounded by the worker's peak batch footprint, which
+        # worker reuse (default on) already implies.
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "268435456")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -43,6 +43,11 @@ def build_session(app_name: str, local_cores: int | None) -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # retain python-worker allocator arenas — pay Arrow/numpy batch
+        # buffers' first-touch page faults once per worker, not per batch
+        # (rationale + measurements: data_profiler_spark/session.py)
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "268435456")
     )
     return b.getOrCreate()
 
