@@ -424,15 +424,17 @@ def q_ngram_jaccard_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the exact near-dup pair graph (J >= 0.8):
     (doc_id, group_id=min id of component) — oracle is a DuckDB recursive
-    transitive closure over the same pairs. Runs the large-star/small-star
-    engine so the driver oracle-checks that path; the pointer-jumping
-    engine is oracle-checked through near_dup_keep and value-compared
-    against star in tests/test_dedup_similarity.py."""
+    transitive closure over the same pairs. Runs the pointer-jumping
+    engine explicitly so the driver oracle-checks that path; the
+    large-star/small-star engine (the library default since its measured
+    across-the-board win — see near_dup_components docstring) is
+    oracle-checked through near_dup_keep and value-compared against jump
+    in tests/test_dedup_similarity.py."""
     from data_profiler_spark.operators import dedup
 
     df = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.8, max_shingle_df=None)
-    return dedup.near_dup_components(pairs, method="star").orderBy("doc_id")
+    return dedup.near_dup_components(pairs, method="jump").orderBy("doc_id")
 
 
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

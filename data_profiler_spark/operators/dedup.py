@@ -695,7 +695,7 @@ def simhash_pairs(
 # --------------------------------------------------------------------------
 
 def near_dup_components(
-    pairs: DataFrame, max_iter: int = 50, method: str = "jump"
+    pairs: DataFrame, max_iter: int = 50, method: str = "star"
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: (doc_id, group_id)
     for every id that appears in >= 1 pair, with ``group_id`` = the min id
@@ -703,27 +703,30 @@ def near_dup_components(
     (:func:`minhash_lsh_pairs` etc.) and "keep one representative per
     cluster" that an at-scale dedup pipeline actually executes.
 
-    Two interchangeable engines (identical output):
+    Two interchangeable engines (identical output — value-equality tested
+    on hand/random/real graphs):
+
+    ``method='star'`` (DEFAULT) — alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): each round re-points every vertex's
+    strictly-larger neighbors (large-star) then its smaller-or-equal
+    neighbors (small-star) at the neighborhood minimum — two groupBy-min
+    + join rounds over the EDGE set, provably O(log n) rounds on ANY
+    graph. Measured faster-or-equal on EVERY tested shape at the same
+    round count (8 cores): 30k-chain 16.8 s vs jump 25.7 s, 20k star
+    family 1.7 vs 2.2 s, dense cliques tie, 100k-edge adversarial mix
+    (chain+expander+family) 22.8 vs 50.7 s — the per-round work (two
+    groupBys) beats jump's join+groupBy+shortcut everywhere measured,
+    which is why it's the default despite jump's vertex-sized state.
 
     ``method='jump'`` — min-label propagation WITH pointer jumping: each
     iteration (a) pushes the smallest known label across edges (join +
     groupBy-min) and then (b) shortcuts through the label graph —
-    ``label ← label[label]`` — which doubles the propagation distance per
-    round, so convergence is O(log diameter) instead of O(diameter): a
-    1000-edge chain closes in ~10 rounds (tested), dense near-dup
-    clusters in 2-3. The label table stays vertex-sized every round.
-
-    ``method='star'`` — alternating large-star/small-star contraction
-    (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    SoCC'14): each round re-points every vertex's strictly-larger
-    neighbors (large-star) then its smaller-or-equal neighbors
-    (small-star) at the neighborhood minimum — two groupBy-min + join
-    rounds over the EDGE set, provably O(log n) rounds on ANY graph
-    (including the adversarial expander-ish shapes where label
-    propagation's per-round frontier growth is what's being doubled).
-    Prefer it when the edge graph is adversarial or diameter-unknown;
-    'jump' shuffles less per round on the long-chain/star shapes real
-    boilerplate dedup produces.
+    ``label ← label[label]`` — doubling propagation distance per round,
+    so convergence is O(log diameter): a 1000-edge chain closes in ~10
+    rounds (tested). Its working state is the VERTEX-sized label table
+    (star's is edge-sized until contraction shrinks it), which can matter
+    when edges ≫ vertices and executor storage is the binding constraint.
 
     Both: one driver ``count()``/checksum per round detects convergence
     (inherent to any fixed-point loop); ``localCheckpoint`` cuts lineage
