@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_profiler_spark.operators.checkpoints import materialize
+
 from data_profiler_spark.operators.dedup import tokens_expr
 
 # ---------------------------------------------------------------------------
@@ -118,8 +120,10 @@ def line_dedup(
     are singletons, so the join's build side shrinks from |distinct
     lines| to |duplicated lines| and AQE routinely broadcast-converts it.
 
-    ``skew_safe=True`` additionally ``localCheckpoint``s the filtered
-    counts before the join. Measured finding (tests/test_skew_stress.py):
+    ``skew_safe=True`` additionally materializes the filtered counts
+    before the join (reliable ``checkpoint`` when the session has a
+    checkpoint dir — the executor-loss-safe cluster configuration — else
+    ``localCheckpoint``; see ``operators.checkpoints``). Measured finding (tests/test_skew_stress.py):
     AQE's skew-join split only matches an SMJ whose children are BOTH
     ``Sort(ShuffleQueryStage)`` — with the count aggregate's final
     HashAggregate sitting between Sort and the shuffle stage, the rule
@@ -138,7 +142,7 @@ def line_dedup(
         .select("line_hash", "first_id", "first_pos")
     )
     if skew_safe:
-        counts = counts.localCheckpoint(eager=False)
+        counts = materialize(counts)
     joined = lines.join(
         counts, F.md5(F.col("line")) == counts["line_hash"], "left"
     )

@@ -38,8 +38,14 @@ token is the high bit of hex char *i* of its md5.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.checkpoints import materialize
+
+_LOG = logging.getLogger(__name__)
 
 _WS = "[ \\t\\n\\x0B\\f\\r]+"
 
@@ -194,6 +200,39 @@ def _verify_pairs(cand: DataFrame, sets: DataFrame, id_col: str, threshold: floa
 
 DEFAULT_MAX_BAND_DF = 10_000
 
+# Hot-bucket lists bigger than this are joined with a plain shuffle join
+# instead of a forced broadcast: the list's cardinality is bounded only by
+# n_docs * num_bands / max_band_df, which at the 10^12-doc scale the cap
+# defends can reach millions of rows — a forced F.broadcast there bypasses
+# autoBroadcastJoinThreshold and OOMs the driver in the exact regime the
+# guardrail exists for. 1M rows of (int, 32-char key, long) ≈ 60 MB
+# broadcast — the sane ceiling for executor-memory-resident build sides.
+HOT_BROADCAST_MAX_BUCKETS = 1_000_000
+
+
+def _band_occupancy_aggs(bdf_col: str, cap: int | None) -> list[Column]:
+    """The band-bucket occupancy aggregate columns shared by
+    :func:`band_df_report` and ``minhash_lsh_pairs(precheck=True)``:
+    bucket totals, hot-bucket count, and the uncapped-vs-capped candidate
+    mass. C(df,2) is carried in decimal(38,0), not long: one 10^10-doc
+    duplicate family gives ~5e19 uncapped candidates > 2^63 — the exact
+    detonation case the report exists to expose would overflow (ANSI
+    exception, or a silent negative with ANSI off). Decimal keeps the
+    count exact to 10^38; the product is even so the /2 is exact integer
+    division."""
+    cap_lit = F.lit(cap if cap is not None else 2**62)
+    bdf_dec = F.col(bdf_col).cast("decimal(38,0)")
+    pairwise = (bdf_dec * (bdf_dec - F.lit(1)) / F.lit(2)).cast("decimal(38,0)")
+    return [
+        F.count(F.lit(1)).alias("total_buckets"),
+        F.sum((F.col(bdf_col) > cap_lit).cast("long")).alias("hot_buckets"),
+        F.max(bdf_col).alias("max_bucket_docs"),
+        F.sum(pairwise).cast("decimal(38,0)").alias("uncapped_candidates"),
+        F.sum(F.when(F.col(bdf_col) > cap_lit, bdf_dec - F.lit(1)).otherwise(pairwise))
+        .cast("decimal(38,0)")
+        .alias("capped_candidates"),
+    ]
+
 
 def minhash_lsh_pairs(
     df: DataFrame,
@@ -206,6 +245,9 @@ def minhash_lsh_pairs(
     union_exact_candidates: bool = False,
     hash_fn: str = "md5",
     max_band_df: int | None = DEFAULT_MAX_BAND_DF,
+    precheck: bool = False,
+    audit=None,
+    run_id: str = "adhoc",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash+LSH, verified with exact Jaccard.
 
@@ -248,11 +290,33 @@ def minhash_lsh_pairs(
     reuse, so they count as one), which would re-run the dominant
     shingle→minhash computation over the full text. To avoid that, the
     per-doc ``bands`` projection (num_perm longs + band keys, ~hundreds
-    of bytes/doc vs the ~KB text it derives from) is materialized via a
-    lazy ``localCheckpoint`` so every consumer reads it instead of
-    recomputing — executor-local storage traded for a full signature
-    pass. The uncapped path has a single consumer chain and skips the
-    checkpoint entirely.
+    of bytes/doc vs the ~KB text it derives from) is materialized via
+    :func:`~data_profiler_spark.operators.checkpoints.materialize` (lazy
+    ``localCheckpoint``, or a reliable ``checkpoint`` when the session has
+    a checkpoint dir — executor-loss-safe on clusters) so every consumer
+    reads it instead of recomputing. The uncapped path has a single
+    consumer chain and skips the checkpoint entirely.
+
+    **The cap is guarded, not assumed** (capping is a recall-contract
+    change, so it must be observable): with ``max_band_df`` set, the call
+    EAGERLY runs one cheap guard job over the checkpointed bands that
+    counts over-cap buckets. ``hot == 0`` — the common case once
+    ``exact_dedup`` ran — skips the marking join entirely (the capped plan
+    IS the uncapped plan, certified); ``hot > 0`` logs a warning with the
+    bucket count so silent output changes are impossible, and the hot list
+    is broadcast only while it stays under
+    :data:`HOT_BROADCAST_MAX_BUCKETS` rows — beyond that it falls back to
+    a plain shuffle join (AQE splits any skewed probe partitions) instead
+    of forcing an unbounded broadcast past ``autoBroadcastJoinThreshold``.
+
+    ``precheck=True`` upgrades the guard job to the full
+    :func:`band_df_report` occupancy aggregate at zero extra passes (same
+    eager job, richer agg) and records it: hot-bucket count, max bucket
+    size, and predicted uncapped-vs-capped candidate mass are logged and —
+    when an :class:`~data_profiler_spark.io.audit.AuditLog` is passed via
+    ``audit=``/``run_id=`` — appended to the run's audit JSONL as an
+    ``lsh_band_precheck`` event (counts only, PII-free), so "what did the
+    guardrail change" is answerable from the run artifacts alone.
     """
     sets = _shingle_sets(df, id_col, text_col, shingle)
     # Two-step projection (shingles → signature → bands) so each band key
@@ -275,34 +339,72 @@ def minhash_lsh_pairs(
     # the outer variant is semantically identical and keeps the heavy
     # expression above the exchange.
     if max_band_df is not None:
-        # Two consumers below (hot agg + self-join) — materialize the
+        # Two consumers below (guard agg + self-join) — materialize the
         # small per-doc band projection so neither re-runs the minhash.
-        bands = bands.localCheckpoint(eager=False)
+        bands = materialize(bands)
     melted = bands.select("_id", F.posexplode_outer("_bands").alias("band_id", "key"))
     star = None
     if max_band_df is not None:
         # Hot-bucket split. The bucket-size agg is count-shaped and
         # map-side combinable (partial agg collapses each hot bucket to
-        # one row per input partition before the shuffle), and the hot
-        # list is tiny by definition — broadcast back onto melted, so the
-        # split itself adds zero shuffles to the document stream: hot
-        # buckets are excised BEFORE the join exchange ever hashes on
-        # (band_id, key), which is what keeps the join skew-free (a
+        # one row per input partition before the shuffle). Excising hot
+        # buckets happens BEFORE the join exchange ever hashes on
+        # (band_id, key), which is what keeps the self-join skew-free (a
         # window/count-over-partition alternative would shuffle the hot
         # bucket onto one task — exactly the pathology being defused).
-        hot = (
-            melted.groupBy("band_id", "key")
-            .agg(F.count(F.lit(1)).alias("_bdf"), F.min("_id").alias("_rep"))
-            .filter(F.col("_bdf") > max_band_df)
-            .select("band_id", "key", "_rep")
+        freq = melted.groupBy("band_id", "key").agg(
+            F.count(F.lit(1)).alias("_bdf"), F.min("_id").alias("_rep")
         )
-        marked = melted.join(F.broadcast(hot), ["band_id", "key"], "left")
-        star = (
-            marked.filter(F.col("_rep").isNotNull() & (F.col("_id") != F.col("_rep")))
-            # _rep is the bucket min ⇒ id1 < id2 holds by construction
-            .select(F.col("_rep").alias("id1"), F.col("_id").alias("id2"))
-        )
-        melted = marked.filter(F.col("_rep").isNull()).select("_id", "band_id", "key")
+        hot = freq.filter(F.col("_bdf") > max_band_df).select("band_id", "key", "_rep")
+        # Eager guard job (also materializes the bands checkpoint). With
+        # precheck it carries the full occupancy report for the same pass.
+        if precheck:
+            stats = freq.agg(*_band_occupancy_aggs("_bdf", max_band_df)).collect()[0]
+            hot_n = int(stats["hot_buckets"] or 0)
+            event = {
+                "max_band_df": max_band_df,
+                "total_buckets": int(stats["total_buckets"]),
+                "hot_buckets": hot_n,
+                "max_bucket_docs": int(stats["max_bucket_docs"] or 0),
+                "uncapped_candidates": str(stats["uncapped_candidates"] or 0),
+                "capped_candidates": str(stats["capped_candidates"] or 0),
+            }
+            if audit is not None:
+                audit.event("lsh_band_precheck", run_id, **event)
+            if hot_n:
+                _LOG.warning(
+                    "minhash_lsh_pairs: %d band buckets exceed max_band_df=%d "
+                    "(max bucket %d docs) — routing them through star edges; "
+                    "candidate mass %s -> %s",
+                    hot_n,
+                    max_band_df,
+                    event["max_bucket_docs"],
+                    event["uncapped_candidates"],
+                    event["capped_candidates"],
+                )
+        else:
+            hot_n = hot.count()
+            if hot_n:
+                _LOG.warning(
+                    "minhash_lsh_pairs: %d band buckets exceed max_band_df=%d — "
+                    "routing them through star edges (pass precheck=True for "
+                    "the full occupancy report)",
+                    hot_n,
+                    max_band_df,
+                )
+        if hot_n > 0:
+            # Bounded broadcast: forcing an arbitrarily large hot list past
+            # autoBroadcastJoinThreshold would OOM in the exact regime the
+            # cap defends; past the bound, a plain shuffle join (hot
+            # partitions linear in bucket size, AQE-splittable) is correct.
+            build = F.broadcast(hot) if hot_n <= HOT_BROADCAST_MAX_BUCKETS else hot
+            marked = melted.join(build, ["band_id", "key"], "left")
+            star = (
+                marked.filter(F.col("_rep").isNotNull() & (F.col("_id") != F.col("_rep")))
+                # _rep is the bucket min ⇒ id1 < id2 holds by construction
+                .select(F.col("_rep").alias("id1"), F.col("_id").alias("id2"))
+            )
+            melted = marked.filter(F.col("_rep").isNull()).select("_id", "band_id", "key")
     a = melted.select(F.col("_id").alias("id1"), "band_id", "key")
     b = melted.select(F.col("_id").alias("id2"), "band_id", "key")
     cand = a.join(b, ["band_id", "key"]).filter(F.col("id1") < F.col("id2")).select("id1", "id2")
@@ -351,23 +453,7 @@ def band_df_report(
     )
     melted = bands.select("_id", F.posexplode_outer("_bands").alias("band_id", "key"))
     freq = melted.groupBy("band_id", "key").agg(F.count(F.lit(1)).alias("bdf"))
-    cap = F.lit(max_band_df if max_band_df is not None else 2**62)
-    # C(df,2) in decimal(38,0), not long: one 10^10-doc duplicate family
-    # gives ~5e19 uncapped candidates > 2^63 — the exact detonation case
-    # this report exists to expose would overflow (ANSI exception, or a
-    # silent negative with ANSI off). Decimal keeps the count exact to
-    # 10^38; the product is even so the /2 is exact integer division.
-    bdf_dec = F.col("bdf").cast("decimal(38,0)")
-    pairwise = (bdf_dec * (bdf_dec - F.lit(1)) / F.lit(2)).cast("decimal(38,0)")
-    return freq.agg(
-        F.count(F.lit(1)).alias("total_buckets"),
-        F.sum((F.col("bdf") > cap).cast("long")).alias("hot_buckets"),
-        F.max("bdf").alias("max_bucket_docs"),
-        F.sum(pairwise).cast("decimal(38,0)").alias("uncapped_candidates"),
-        F.sum(F.when(F.col("bdf") > cap, bdf_dec - F.lit(1)).otherwise(pairwise))
-        .cast("decimal(38,0)")
-        .alias("capped_candidates"),
-    )
+    return freq.agg(*_band_occupancy_aggs("bdf", max_band_df))
 
 
 DEFAULT_MAX_SHINGLE_DF = 10_000
@@ -729,8 +815,10 @@ def near_dup_components(
     when edges ≫ vertices and executor storage is the binding constraint.
 
     Both: one driver ``count()``/checksum per round detects convergence
-    (inherent to any fixed-point loop); ``localCheckpoint`` cuts lineage
-    each round so the plan doesn't grow with iterations. Skewed
+    (inherent to any fixed-point loop); each round's state is materialized
+    (reliable ``checkpoint`` when a checkpoint dir is configured, else
+    ``localCheckpoint`` — see ``operators.checkpoints``) so the plan
+    doesn't grow with iterations. Skewed
     keys (a giant component concentrates its root's key) are absorbed by
     AQE skew-join splitting (on in session.py).
     """
@@ -761,8 +849,8 @@ def _star_components_with_rounds(
             F.greatest("id1", "id2").alias("u"), F.least("id1", "id2").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    edges = materialize(edges, eager=True)
 
     def _sig(e: DataFrame) -> tuple:
         # bit_xor, not sum: a set checksum that can't hit ANSI-mode long
@@ -798,7 +886,7 @@ def _star_components_with_rounds(
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        edges = materialize(_small_star(_large_star(edges)), eager=True)
         new_sig = _sig(edges)
         if new_sig == sig:
             break
@@ -824,14 +912,15 @@ def _star_components_with_rounds(
 def _components_with_rounds(pairs: DataFrame, max_iter: int = 50) -> tuple[DataFrame, int]:
     """(components, rounds-to-converge) — see :func:`near_dup_components`."""
     edges = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
-    edges = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
-    labels = (
+    edges = materialize(
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))),
+        eager=True,
+    )
+    labels = materialize(
         edges.select(F.col("a").alias("v"))
         .distinct()
-        .select("v", F.col("v").alias("label"))
-        .localCheckpoint(eager=True)
+        .select("v", F.col("v").alias("label")),
+        eager=True,
     )
     rounds = 0
     for _ in range(max_iter):
@@ -857,8 +946,8 @@ def _components_with_rounds(pairs: DataFrame, max_iter: int = 50) -> tuple[DataF
             F.col("label"),
         )
         changed = updated.filter(F.col("new_label") < F.col("label")).count()
-        labels = updated.select("v", F.col("new_label").alias("label")).localCheckpoint(
-            eager=True
+        labels = materialize(
+            updated.select("v", F.col("new_label").alias("label")), eager=True
         )
         if changed == 0:
             break

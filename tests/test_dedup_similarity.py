@@ -551,3 +551,18 @@ def test_embedding_near_dup_empty_and_dim_param(emb, spark):
     with_dim = _pairs(similarity.embedding_near_dup_pairs(emb, threshold=0.45, dim=64))
     inferred = _pairs(similarity.embedding_near_dup_pairs(emb, threshold=0.45))
     assert with_dim == inferred
+
+
+def test_minhash_hot_join_shuffle_fallback(spark, monkeypatch):
+    """Past HOT_BROADCAST_MAX_BUCKETS the hot-bucket excision joins with a
+    plain shuffle join instead of a forced broadcast (an unbounded
+    F.broadcast would bypass autoBroadcastJoinThreshold and OOM in the
+    exact >cap regime the guardrail defends). Forcing the bound to 0 must
+    leave the star-edge output identical."""
+    family = [(i, "massive duplicated boilerplate page body text here") for i in range(300)]
+    singles = [(900, "one of a kind document alpha content")]
+    df = spark.createDataFrame(family + singles, "doc_id long, text string")
+    monkeypatch.setattr(dedup, "HOT_BROADCAST_MAX_BUCKETS", 0)
+    rows = dedup.minhash_lsh_pairs(df, threshold=0.8, max_band_df=32).collect()
+    assert {(r["id1"], r["id2"]) for r in rows} == {(0, i) for i in range(1, 300)}
+    assert all(r["jaccard"] == 1.0 for r in rows)
