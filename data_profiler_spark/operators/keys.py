@@ -103,6 +103,37 @@ def duplicate_groups(
     )
 
 
+def duplicate_stats(df: DataFrame, key_cols: list[str]) -> dict:
+    """Whole-data duplicate counters matching the reference's confirm-keys
+    response (``api/routers/runs.py:1729-1750``): ``duplicate_count`` =
+    distinct key values appearing more than once (null-key rows skipped),
+    ``total_duplicate_rows`` = extra occurrences Σ(count−1) — the first
+    occurrence is not a duplicate — and ``duplicate_percentage`` over ALL
+    rows (including the skipped null-key ones, as the reference counts
+    ``total_rows`` before its null skip). One count + one groupBy agg;
+    aggregates only, never per-key rows on the driver."""
+    total_rows = df.count()
+    non_null = df
+    for c in key_cols:
+        non_null = non_null.filter(~null_like(F.col(c)))
+    dup = (
+        non_null.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    r = dup.agg(
+        F.count(F.lit(1)).alias("dc"), F.sum(F.col("n") - F.lit(1)).alias("tdr")
+    ).collect()[0]
+    dc, tdr = int(r["dc"] or 0), int(r["tdr"] or 0)
+    return {
+        "total_rows": total_rows,
+        "has_duplicates": dc > 0,
+        "duplicate_count": dc,
+        "total_duplicate_rows": tdr,
+        "duplicate_percentage": (tdr / total_rows * 100.0) if total_rows else 0.0,
+    }
+
+
 def null_key_count(df: DataFrame, key_cols: list[str]) -> int:
     """Count of rows excluded from duplicate grouping for a null key member
     (reference ``keys.py:254-280`` skip-and-count)."""

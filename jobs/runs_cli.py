@@ -40,15 +40,50 @@ def _read_json(path: str) -> dict | None:
         return None
 
 
+def _run_status_view(m: dict) -> dict:
+    """The manifest re-expressed under the reference ``RunStatus`` field
+    names (``api/models/run.py:84-100``) so a client of the REST surface
+    can consume this CLI's JSON with no field mapping. Fields the
+    distributed pipeline has no analog for (``source_filename`` — input is
+    a DataFrame, not an upload; ``column_profiles`` — lives in
+    profile.json) are present with null values: field-NAME parity is the
+    contract (tests/test_runs_cli.py locks it against the reference
+    models)."""
+    stages = m.get("stages", [])
+    started = [s.get("started_at") for s in stages if s.get("started_at")]
+    finished = [s.get("finished_at") for s in stages if s.get("finished_at")]
+    rows = sum(
+        ((b or {}).get("metrics") or {}).get("rows", (b or {}).get("rows", 0))
+        for b in m.get("completed_batches", {}).values()
+    )
+    return {
+        "run_id": m.get("run_id"),
+        "state": m.get("state"),
+        "progress_pct": round(100.0 * (m.get("progress") or 0.0), 1),
+        "created_at": m.get("created_at") or (min(started) if started else None),
+        "started_at": min(started) if started else None,
+        "completed_at": (
+            max(finished) if finished and m.get("state") == "completed" else None
+        ),
+        "warnings": m.get("warnings", []),
+        "errors": m.get("errors", []),
+        "column_profiles": m.get("column_profiles"),
+        "source_filename": m.get("source_filename"),
+        "row_count": rows,
+        "column_count": m.get("column_count"),
+    }
+
+
 def _run_summary(run_dir: str) -> dict | None:
     m = _read_json(os.path.join(run_dir, "manifest.json"))
     if m is None:
         return None
     stages = m.get("stages", [])
     return {
-        "run_id": m.get("run_id"),
+        # reference RunStatus field names first (list_runs returns
+        # List[RunStatus]); CLI-native extras after
+        **_run_status_view(m),
         "path": run_dir,
-        "state": m.get("state"),
         "progress": m.get("progress", 0.0),
         "months_committed": len(m.get("completed_batches", {})),
         # the pipeline nests per-month counters under "metrics"; accept a
@@ -87,7 +122,9 @@ def cmd_status(args) -> dict:
     if os.path.exists(apath):
         with open(apath) as f:
             audit_tail = [json.loads(line) for line in f.readlines()[-args.audit_tail :]]
-    return {"manifest": m, "audit_tail": audit_tail}
+    # reference RunStatus fields at the top level (get_run_status returns
+    # RunStatus), full manifest + audit tail as CLI-native extras
+    return {**_run_status_view(m), "manifest": m, "audit_tail": audit_tail}
 
 
 def _session(cores: int | None):
@@ -109,17 +146,24 @@ def cmd_candidate_keys(args) -> dict:
         min_score=args.min_score,
         top=args.top,
     )
+    cand_dicts = [
+        {
+            "columns": list(c.columns),
+            "distinct_ratio": round(c.distinct_ratio, 6),
+            "null_ratio_sum": round(c.null_ratio_sum, 6),
+            "score": round(c.score, 6),
+        }
+        for c in cands
+    ]
+    # reference CandidateKeysResponse field names (run_id, candidate_keys,
+    # total_rows — api/models/run.py:248-254) + CLI-native extras; each
+    # candidate already carries the reference CandidateKey field names
     return {
+        "run_id": args.run_id,
+        "candidate_keys": cand_dicts,
+        "total_rows": df.count(),
         "input": args.parquet,
-        "candidates": [
-            {
-                "columns": list(c.columns),
-                "distinct_ratio": round(c.distinct_ratio, 6),
-                "null_ratio_sum": round(c.null_ratio_sum, 6),
-                "score": round(c.score, 6),
-            }
-            for c in cands
-        ],
+        "candidates": cand_dicts,
     }
 
 
@@ -131,11 +175,29 @@ def cmd_confirm_keys(args) -> dict:
     key_cols = [c.strip() for c in args.keys.split(",") if c.strip()]
     groups = keys.duplicate_groups(df, key_cols, top=args.top, id_col=args.id_col)
     skipped = keys.null_key_count(df, key_cols)
+    stats = keys.duplicate_stats(df, key_cols)
+    # each group carries BOTH the raw key columns/ids and the reference
+    # DuplicateGroup field names (key_value '|'-joined per runs.py:1720,
+    # count, row_numbers — api/models/run.py:269-274)
+    group_dicts = []
+    for r in groups.collect():
+        d = r.asDict()
+        d["key_value"] = "|".join(str(d[c]) for c in key_cols)
+        d["count"] = d["dup_count"]
+        d["row_numbers"] = list(d.get("example_ids") or [])
+        group_dicts.append(d)
+    # reference DuplicateDetectionResponse field names + CLI-native extras
     return {
+        "run_id": args.run_id,
+        "confirmed_keys": key_cols,
+        "has_duplicates": stats["has_duplicates"],
+        "duplicate_count": stats["duplicate_count"],
+        "total_duplicate_rows": stats["total_duplicate_rows"],
+        "duplicate_percentage": round(stats["duplicate_percentage"], 6),
         "input": args.parquet,
         "key_columns": key_cols,
         "null_key_rows_skipped": skipped,
-        "duplicate_groups": [r.asDict() for r in groups.collect()],
+        "duplicate_groups": group_dicts,
     }
 
 
@@ -159,6 +221,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-width", type=int, default=2)
     p.add_argument("--min-score", type=float, default=0.5)
     p.add_argument("--top", type=int, default=5)
+    p.add_argument("--run-id", default=None, help="run id echoed in the response")
     p.add_argument("--local-cores", type=int, default=None)
     p.set_defaults(fn=cmd_candidate_keys)
 
@@ -167,6 +230,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--keys", required=True, help="comma list of confirmed key columns")
     p.add_argument("--id-col", default=None)
     p.add_argument("--top", type=int, default=10)
+    p.add_argument("--run-id", default=None, help="run id echoed in the response")
     p.add_argument("--local-cores", type=int, default=None)
     p.set_defaults(fn=cmd_confirm_keys)
 

@@ -86,6 +86,78 @@ def test_candidate_and_confirm_keys(spark, tmp_path, capsys, monkeypatch):
     runs_cli.main(["confirm-keys", p, "--keys", "grp", "--id-col", "id"])
     out = json.loads(capsys.readouterr().out)
     assert out["null_key_rows_skipped"] == 1
-    assert out["duplicate_groups"] == [
-        {"grp": "a", "dup_count": 2, "example_ids": [1, 2]}
-    ]
+    [g] = out["duplicate_groups"]
+    assert (g["grp"], g["dup_count"], g["example_ids"]) == ("a", 2, [1, 2])
+    # reference-named twins inside the same group dict
+    assert (g["key_value"], g["count"], g["row_numbers"]) == ("a", 2, [1, 2])
+    # reference response-level counters (runs.py:1729-1750 semantics:
+    # first occurrence is not a duplicate; percentage over ALL rows
+    # including the null-key-skipped one)
+    assert out["has_duplicates"] is True
+    assert out["duplicate_count"] == 1
+    assert out["total_duplicate_rows"] == 1
+    assert out["duplicate_percentage"] == 25.0
+
+
+# Reference response-model field names, pinned from api/models/run.py —
+# RunStatus :84-100, CandidateKey :228-235, CandidateKeysResponse :248-254,
+# DuplicateGroup :269-274, DuplicateDetectionResponse :277-287. The CLI's
+# JSON must be a field-name SUPERSET of the endpoint it twins (transport
+# aside, a REST client's field mapping carries over 1:1); this locks the
+# lifecycle surface against drift.
+REF_RUN_STATUS = {
+    "run_id", "state", "progress_pct", "created_at", "started_at",
+    "completed_at", "warnings", "errors", "column_profiles",
+    "source_filename", "row_count", "column_count",
+}
+REF_CANDIDATE_KEY = {"columns", "distinct_ratio", "null_ratio_sum", "score"}
+REF_CANDIDATE_KEYS_RESPONSE = {"run_id", "candidate_keys", "total_rows"}
+REF_DUPLICATE_GROUP = {"key_value", "count", "row_numbers"}
+REF_DUPLICATE_DETECTION_RESPONSE = {
+    "run_id", "confirmed_keys", "has_duplicates", "duplicate_count",
+    "total_duplicate_rows", "duplicate_percentage", "duplicate_groups",
+}
+
+
+def test_list_and_status_field_parity(workspace, capsys):
+    """list (GET /runs → List[RunStatus]) and status (GET /runs/{id}/status
+    → RunStatus): every reference field name present."""
+    runs_cli.main(["list", str(workspace)])
+    out = json.loads(capsys.readouterr().out)
+    for run in out["runs"]:
+        assert REF_RUN_STATUS <= set(run), REF_RUN_STATUS - set(run)
+    # values mapped, not just present
+    assert out["runs"][0]["progress_pct"] == 33.0
+    assert out["runs"][0]["row_count"] == 7
+
+    runs_cli.main(["status", str(workspace / "r-old")])
+    out = json.loads(capsys.readouterr().out)
+    assert REF_RUN_STATUS <= set(out), REF_RUN_STATUS - set(out)
+    assert out["state"] == "completed"
+    assert out["completed_at"] == "2026-01-01T00:00:00Z"
+
+
+def test_keys_field_parity(spark, tmp_path, capsys, monkeypatch):
+    """candidate-keys (CandidateKeysResponse) and confirm-keys
+    (DuplicateDetectionResponse): every reference field name present at
+    the response level and inside each nested object."""
+    monkeypatch.setattr(runs_cli, "_session", lambda cores: spark)
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, None)], "id long, grp string"
+    ).write.parquet(p)
+
+    runs_cli.main(["candidate-keys", p, "--cols", "id,grp", "--run-id", "rX"])
+    out = json.loads(capsys.readouterr().out)
+    assert REF_CANDIDATE_KEYS_RESPONSE <= set(out)
+    assert out["run_id"] == "rX"
+    assert out["total_rows"] == 4
+    assert out["candidate_keys"], "unique id column must surface"
+    for cand in out["candidate_keys"]:
+        assert REF_CANDIDATE_KEY <= set(cand)
+
+    runs_cli.main(["confirm-keys", p, "--keys", "grp", "--id-col", "id"])
+    out = json.loads(capsys.readouterr().out)
+    assert REF_DUPLICATE_DETECTION_RESPONSE <= set(out)
+    for g in out["duplicate_groups"]:
+        assert REF_DUPLICATE_GROUP <= set(g)
