@@ -2,11 +2,15 @@
 
 Default: headline queries + the quality-filter scoring pipeline at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]``. Every query is timed on its SECOND run
-(codegen + page-cache + python-worker warm-up excluded — same convention
-as ``--scaling``), and a pure-JVM ``host_marker_sec`` reference workload
-is recorded so round-over-round deltas are attributable to the engine vs
-host noise.
+``local[$SPARK_GRAFT_CPUS]``. Every query gets a warm pass (codegen +
+page-cache + python-worker spin-up excluded) then best-of-2 timed passes
+(round 5 — the host stalls in multi-second bursts that fabricated the
+round-4 per-query "regressions"; min-of-N is the repo's standard
+estimator under multiplicative noise), and a pure-JVM ``host_marker_sec``
+reference workload is recorded so round-over-round deltas are
+attributable to the engine vs host noise. Cross-round comparisons should
+use ``stable_subset_total_sec`` (frozen round-3 query set) and the
+``queries_marker_normalized`` per-query values.
 
 ``--scaling``: runs the scoring job at two parallelism levels
 (``$SPARK_GRAFT_SCALE_CORES``, default ``local[2]`` vs ``local[8]`` —
@@ -137,6 +141,39 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "duplicated_spans",
     "quality_score_by_source",
+]
+
+# The 26 entries BENCH_r03.json carried (BENCH_QUERIES at round 3 +
+# quality_filter_score). Later rounds add entries (skew twins, new
+# operators), which makes raw suite TOTALS incomparable round-over-round;
+# the stable-subset total is the number to trend. Frozen — do not extend.
+STABLE_SUBSET = [
+    "profile_nchars",
+    "distinct_counts",
+    "top10_lang",
+    "hist_nchars",
+    "money_validation",
+    "tpch_q1",
+    "top10_customers_revenue",
+    "events_hourly",
+    "token_stats_by_lang",
+    "dedup_exact",
+    "ann_cosine_top10",
+    "minhash_lsh_dedup",
+    "ngram_jaccard_dup",
+    "ngram_jaccard_capped",
+    "simhash_signatures",
+    "simhash_pairs",
+    "embedding_near_dup",
+    "embedding_near_dup_t09",
+    "user_sessions",
+    "line_dedup_docs",
+    "token_budget_sample",
+    "html_extract_roundtrip",
+    "incremental_dedup",
+    "duplicated_spans",
+    "quality_score_by_source",
+    "quality_filter_score",
 ]
 
 
@@ -390,9 +427,20 @@ def main() -> None:
         # measured warm; this makes the headline suite comparable across
         # rounds too).
         qs[name](spark, SF_DIR).collect()
-        t0 = time.time()
-        qs[name](spark, SF_DIR).collect()
-        timings[name] = round(time.time() - t0, 3)
+        # best-of-2 (round 5): the same estimator --scaling, scoring, and
+        # the skew twins already use. The round-4/5 adjudication of the
+        # two "regressed" rows (BASELINE.md) showed the host stalls in
+        # multi-second bursts — identical plans re-run seconds apart
+        # swing 0.59 s → 3.42 s — so a single timed pass fabricates
+        # per-query regressions that min-of-2 mostly absorbs. (r3/r4
+        # totals were single-pass: suite totals are ≤-biased vs them;
+        # compare rounds via stable_subset + marker-normalized fields.)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).collect()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     # quality-filter scoring throughput (generate excluded via cache+count;
@@ -504,6 +552,14 @@ def main() -> None:
     # flags a bandwidth-throttled window (bw marker degrades much more).
     norm = round(total * QUIET_MARKER_SEC / marker_sec, 3)
     norm_bw = round(total * QUIET_BW_MARKER_SEC / marker_bw_sec, 3)
+    # Round-over-round comparability (VERDICT r4 #7): the suite grows, so
+    # also publish the frozen round-3 subset total, plus PER-QUERY
+    # marker-normalized values so a single query can be trended across
+    # rounds without hand-dividing by each round's marker.
+    stable_total = round(sum(timings[n] for n in STABLE_SUBSET if n in timings), 3)
+    q_norm = {
+        n: round(t * QUIET_MARKER_SEC / marker_sec, 3) for n, t in timings.items()
+    }
     # skew resilience: >1 means the skewed fixture costs more than the
     # uniform one on the same operator at the same volume (same window,
     # so host noise largely cancels within each pair)
@@ -519,6 +575,12 @@ def main() -> None:
                 "unit": "sec",
                 "sf": SF_DIR,
                 "queries": timings,
+                "queries_marker_normalized": q_norm,
+                "stable_subset_total_sec": stable_total,
+                "stable_subset_marker_normalized_sec": round(
+                    stable_total * QUIET_MARKER_SEC / marker_sec, 3
+                ),
+                "stable_subset_n": len(STABLE_SUBSET),
                 "docs_per_sec_score": round(PAGES_N / score_sec, 1),
                 "pages_n": PAGES_N,
                 "host_marker_sec": marker_sec,
