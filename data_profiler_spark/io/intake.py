@@ -277,19 +277,42 @@ def csv_row_errors(
     ``(code, line_number, column)`` rows (1-based data-row numbers,
     header excluded) ready for ``operators.errors.error_rollup``.
 
-    ``line_number`` ordering uses ``monotonically_increasing_id`` over the
-    text scan — exact for a single-file read (fixture/audit scale); a
-    100 TB multi-split ingest derives line numbers from reader offsets
-    instead, but at that scale the reference's whole line-numbered-CSV
-    model has already given way to the pages table.
+    ``line_number`` is computed DISTRIBUTED: a partition-local
+    ``row_number`` (window partitioned by ``spark_partition_id``, ordered
+    by ``monotonically_increasing_id`` — exact within a split) plus a
+    driver-computed cumulative offset per split (one count row per
+    partition, broadcast back). No unpartitioned window anywhere — the
+    scan never funnels through one task, so the same code holds on a
+    multi-split file. Split-order assumption: text splits enumerate in
+    file-offset order (the same assumption the previous global
+    ``orderBy(monotonically_increasing_id)`` made, since the id embeds
+    the partition ordinal in its high bits — this version just stops
+    paying a global sort for it).
     """
     import re as _re
 
     from pyspark.sql import Window
 
-    raw = spark.read.text(path).withColumn("_mid", F.monotonically_increasing_id())
-    w = Window.orderBy("_mid")
-    numbered = raw.withColumn("_rn", F.row_number().over(w))
+    raw = spark.read.text(path).select(
+        "value",
+        F.spark_partition_id().alias("_pid"),
+        F.monotonically_increasing_id().alias("_mid"),
+    )
+    # one row per split — bounded driver state (a 100 TB scan at 128 MB
+    # splits is ~800 k rows of (int, long): fine to collect)
+    counts = sorted(
+        (r["_pid"], r["_c"])
+        for r in raw.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += c
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy("_mid")
+    numbered = raw.withColumn("_lrn", F.row_number().over(w)).join(
+        F.broadcast(off_df), "_pid"
+    ).withColumn("_rn", (F.col("_lrn") + F.col("_off")).cast("int"))
     if expected_cols is None:
         header = numbered.filter(F.col("_rn") == 1).collect()[0]["value"]
         expected_cols = len(header.split(delimiter))

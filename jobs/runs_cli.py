@@ -3,10 +3,12 @@ polling surface (``api/routers/runs.py``: list_runs :98, get_run_status
 :964, get_candidate_keys :1534, confirm_keys :1628). The engine keeps the
 reference's observable run state (manifest.json with queued → processing
 → completed stage transitions + progress fraction, append-only audit
-JSONL) but exposes it as files + this CLI instead of HTTP — a user who
-polled ``GET /runs/{id}/status`` polls ``runs_cli.py status <run_dir>``;
+JSONL) and exposes it as files + this CLI — a user who polled
+``GET /runs/{id}/status`` polls ``runs_cli.py status <run_dir>``;
 everything is read from the manifest the pipeline already maintains, so
-the CLI adds NO new engine state.
+the CLI adds NO new engine state. The HTTP transport itself lives in
+``jobs/runs_server.py`` (stdlib http.server), which serves these same
+response builders on the reference's routes.
 
 Subcommands (all print one JSON document to stdout):
 
@@ -133,18 +135,22 @@ def _session(cores: int | None):
     return build_session("runs-cli", cores)
 
 
-def cmd_candidate_keys(args) -> dict:
+def candidate_keys_response(
+    spark,
+    parquet: str,
+    cols: list[str] | None = None,
+    max_width: int = 2,
+    min_score: float = 0.5,
+    top: int = 5,
+    run_id: str | None = None,
+) -> dict:
+    """CandidateKeysResponse-shaped dict (transport-free; shared by the CLI
+    and the HTTP shim in jobs/runs_server.py)."""
     from data_profiler_spark.operators import keys
 
-    spark = _session(args.local_cores)
-    df = spark.read.parquet(args.parquet)
-    cols = [c.strip() for c in args.cols.split(",")] if args.cols else None
+    df = spark.read.parquet(parquet)
     cands = keys.candidate_keys(
-        df,
-        cols=cols,
-        max_width=args.max_width,
-        min_score=args.min_score,
-        top=args.top,
+        df, cols=cols, max_width=max_width, min_score=min_score, top=top
     )
     cand_dicts = [
         {
@@ -159,21 +165,41 @@ def cmd_candidate_keys(args) -> dict:
     # total_rows — api/models/run.py:248-254) + CLI-native extras; each
     # candidate already carries the reference CandidateKey field names
     return {
-        "run_id": args.run_id,
+        "run_id": run_id,
         "candidate_keys": cand_dicts,
         "total_rows": df.count(),
-        "input": args.parquet,
+        "input": parquet,
         "candidates": cand_dicts,
     }
 
 
-def cmd_confirm_keys(args) -> dict:
+def cmd_candidate_keys(args) -> dict:
+    cols = [c.strip() for c in args.cols.split(",")] if args.cols else None
+    return candidate_keys_response(
+        _session(args.local_cores),
+        args.parquet,
+        cols=cols,
+        max_width=args.max_width,
+        min_score=args.min_score,
+        top=args.top,
+        run_id=args.run_id,
+    )
+
+
+def confirm_keys_response(
+    spark,
+    parquet: str,
+    key_cols: list[str],
+    id_col: str | None = None,
+    top: int = 10,
+    run_id: str | None = None,
+) -> dict:
+    """DuplicateDetectionResponse-shaped dict (transport-free twin of
+    POST /runs/{id}/confirm-keys)."""
     from data_profiler_spark.operators import keys
 
-    spark = _session(args.local_cores)
-    df = spark.read.parquet(args.parquet)
-    key_cols = [c.strip() for c in args.keys.split(",") if c.strip()]
-    groups = keys.duplicate_groups(df, key_cols, top=args.top, id_col=args.id_col)
+    df = spark.read.parquet(parquet)
+    groups = keys.duplicate_groups(df, key_cols, top=top, id_col=id_col)
     skipped = keys.null_key_count(df, key_cols)
     stats = keys.duplicate_stats(df, key_cols)
     # each group carries BOTH the raw key columns/ids and the reference
@@ -188,17 +214,29 @@ def cmd_confirm_keys(args) -> dict:
         group_dicts.append(d)
     # reference DuplicateDetectionResponse field names + CLI-native extras
     return {
-        "run_id": args.run_id,
+        "run_id": run_id,
         "confirmed_keys": key_cols,
         "has_duplicates": stats["has_duplicates"],
         "duplicate_count": stats["duplicate_count"],
         "total_duplicate_rows": stats["total_duplicate_rows"],
         "duplicate_percentage": round(stats["duplicate_percentage"], 6),
-        "input": args.parquet,
+        "input": parquet,
         "key_columns": key_cols,
         "null_key_rows_skipped": skipped,
         "duplicate_groups": group_dicts,
     }
+
+
+def cmd_confirm_keys(args) -> dict:
+    key_cols = [c.strip() for c in args.keys.split(",") if c.strip()]
+    return confirm_keys_response(
+        _session(args.local_cores),
+        args.parquet,
+        key_cols,
+        id_col=args.id_col,
+        top=args.top,
+        run_id=args.run_id,
+    )
 
 
 def main(argv: list[str] | None = None) -> int:

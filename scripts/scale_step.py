@@ -194,6 +194,18 @@ def main() -> None:
                 "total_shuffle_write_bytes": sum(s["w"] for s in new),
             }
             print(f"# n={n} {name}: {level['ops'][name]}", file=sys.stderr, flush=True)
+        # Candidate-mass decomposition: if the minhash shuffle ratio is
+        # superlinear, this says whether it is LSH candidate mass (bucket
+        # occupancy growing with n while still under the cap — quadratic
+        # until buckets saturate at max_band_df, linear after) or a
+        # quadratic path that escaped the cap (a bug).
+        rep = (
+            dedup.band_df_report(df, "doc_id", "text", hash_fn="xxhash64", max_band_df=256)
+            .collect()[0]
+            .asDict()
+        )
+        level["band_report"] = {k: str(v) for k, v in rep.items()}
+        print(f"# n={n} band_report: {level['band_report']}", file=sys.stderr, flush=True)
         level["markers_after"] = _markers(spark, cpus)
         result["scales"][str(n)] = level
         df.unpersist()
@@ -210,6 +222,12 @@ def main() -> None:
             2,
         )
         for k in lo
+    }
+    lo_rep = result["scales"][str(args.base_n)]["band_report"]
+    hi_rep = result["scales"][str(args.base_n * args.factor)]["band_report"]
+    result["candidate_ratio_10x"] = {
+        k: round(int(hi_rep[k]) / max(1, int(lo_rep[k])), 2)
+        for k in ("uncapped_candidates", "capped_candidates")
     }
     print(json.dumps(result))
 

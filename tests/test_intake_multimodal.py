@@ -145,6 +145,48 @@ def test_csv_row_errors_reference_carveouts(spark, tmp_path):
     assert rolled == {"E_UNQUOTED_DELIM": False, "E_JAGGED_ROW": True}
 
 
+def test_csv_row_errors_multisplit_line_numbers(spark, tmp_path):
+    """Line numbers must stay exact when the text scan is MANY splits —
+    the round-5 distributed numbering (partition-local row_number +
+    per-split offsets) replaced an unpartitioned global window, and this
+    pins its correctness: a file forced through dozens of splits yields
+    the same (code, line_number) set as the logical single-split read."""
+    p = tmp_path / "wide.csv"
+    # 400 data rows, every 37th jagged (short), every 101st over-wide
+    lines = ["a|b|c"]
+    expected = set()
+    for i in range(1, 401):
+        if i % 37 == 0:
+            lines.append("x|y")
+            expected.add(("E_JAGGED_ROW", i))
+        elif i % 101 == 0:
+            lines.append("x|y|z|w|v")
+            expected.add(("E_JAGGED_ROW", i))
+        else:
+            lines.append(f"x{i}|y|z")
+    p.write_text("\n".join(lines) + "\n")
+
+    before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    before_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128")
+        spark.conf.set("spark.sql.files.openCostInBytes", "8")
+        df = intake.csv_row_errors(spark, str(p), "|", quoted=True)
+        # really multi-split, or the test proves nothing
+        assert spark.read.text(str(p)).rdd.getNumPartitions() > 10
+        got = {(r["code"], r["line_number"]) for r in df.collect()}
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+        spark.conf.set("spark.sql.files.openCostInBytes", before_cost)
+    assert got == expected
+    # and the single-split read agrees
+    single = {
+        (r["code"], r["line_number"])
+        for r in intake.csv_row_errors(spark, str(p), "|", quoted=True).collect()
+    }
+    assert single == expected
+
+
 def test_sniff_mismatch_warnings(spark, tmp_path):
     """Reference runs.py:630-691: high-confidence detected-vs-configured
     disagreement emits W_*_MISMATCH, detected wins, non-catastrophic."""
