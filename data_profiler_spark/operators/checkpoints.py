@@ -21,6 +21,7 @@ happens at the first action, exactly like the raw calls they replace.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 
@@ -30,8 +31,26 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     (fast, but not fault-tolerant — see module docstring). ``eager=True``
     materializes immediately — the fixed-point loops (components engines)
     use it so each round's plan is fully resolved before the next builds
-    on it."""
+    on it.
+
+    Reliable-checkpoint details that matter at scale:
+
+    * ``checkpoint`` runs the checkpoint WRITE as a separate job after the
+      first action, recomputing the whole lineage unless the data is
+      cached — so this persists (MEMORY_AND_DISK) before checkpointing and,
+      on the eager path, unpersists once the durable copy exists. On the
+      lazy path the cache is left in place (dropping it before the first
+      action would reintroduce the double compute); it is evicted LRU.
+    * checkpoint files are only auto-deleted when
+      ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (default
+      false) — cluster sessions that set a checkpoint dir should set it,
+      or long fixed-point runs accumulate one durable copy per round.
+    """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=eager)
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out = df.checkpoint(eager=eager)
+        if eager:
+            df.unpersist()
+        return out
     return df.localCheckpoint(eager=eager)

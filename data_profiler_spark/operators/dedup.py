@@ -297,26 +297,30 @@ def minhash_lsh_pairs(
     reads it instead of recomputing. The uncapped path has a single
     consumer chain and skips the checkpoint entirely.
 
-    **The cap is guarded, not assumed** (capping is a recall-contract
-    change, so it must be observable): with ``max_band_df`` set, the call
-    EAGERLY runs one cheap guard job over the checkpointed bands that
-    counts over-cap buckets. ``hot == 0`` — the common case once
-    ``exact_dedup`` ran — skips the marking join entirely (the capped plan
-    IS the uncapped plan, certified); ``hot > 0`` logs a warning with the
-    bucket count so silent output changes are impossible, and the hot list
-    is broadcast only while it stays under
-    :data:`HOT_BROADCAST_MAX_BUCKETS` rows — beyond that it falls back to
-    a plain shuffle join (AQE splits any skewed probe partitions) instead
-    of forcing an unbounded broadcast past ``autoBroadcastJoinThreshold``.
+    **The default guard is lazy** — plan construction runs NO Spark job
+    (``explain()``/plan inspection stays free; building the DataFrame
+    without executing it costs nothing): the hot-bucket list is computed
+    in-plan and LEFT-joined onto the band stream with no broadcast hint,
+    so AQE's runtime statistics decide broadcast-vs-shuffle for the
+    data-dependent build side (zero hot buckets ⇒ an empty build side
+    that AQE broadcast-converts, every row unmarked, result identical to
+    skipping the join).
 
-    ``precheck=True`` upgrades the guard job to the full
-    :func:`band_df_report` occupancy aggregate at zero extra passes (same
-    eager job, richer agg) and records it: hot-bucket count, max bucket
-    size, and predicted uncapped-vs-capped candidate mass are logged and —
-    when an :class:`~data_profiler_spark.io.audit.AuditLog` is passed via
-    ``audit=``/``run_id=`` — appended to the run's audit JSONL as an
-    ``lsh_band_precheck`` event (counts only, PII-free), so "what did the
-    guardrail change" is answerable from the run artifacts alone.
+    ``precheck=True`` is the eager, OBSERVABLE mode — by definition
+    "measure before you pay": one guard job over the checkpointed bands
+    (the minhash is not recomputed) carries the full
+    :func:`band_df_report` occupancy aggregate; hot-bucket count, max
+    bucket size, and predicted uncapped-vs-capped candidate mass are
+    logged and — when an :class:`~data_profiler_spark.io.audit.AuditLog`
+    is passed via ``audit=``/``run_id=`` — appended to the run's audit
+    JSONL as an ``lsh_band_precheck`` event (counts only, PII-free), so
+    "what did the guardrail change" is answerable from the run artifacts
+    alone. The counted size also certifies ``hot == 0`` plans as exactly
+    the uncapped plan (marking join elided) and bounds the hot-list
+    broadcast at :data:`HOT_BROADCAST_MAX_BUCKETS` rows — beyond that it
+    falls back to a plain shuffle join (AQE splits any skewed probe
+    partitions) instead of forcing an unbounded broadcast past
+    ``autoBroadcastJoinThreshold``.
     """
     sets = _shingle_sets(df, id_col, text_col, shingle)
     # Two-step projection (shingles → signature → bands) so each band key
@@ -356,9 +360,15 @@ def minhash_lsh_pairs(
             F.count(F.lit(1)).alias("_bdf"), F.min("_id").alias("_rep")
         )
         hot = freq.filter(F.col("_bdf") > max_band_df).select("band_id", "key", "_rep")
-        # Eager guard job (also materializes the bands checkpoint). With
-        # precheck it carries the full occupancy report for the same pass.
+        build = hot
+        apply_marking = True
         if precheck:
+            # The ONE mode that runs a job at build time — precheck is by
+            # definition "measure before you pay": the guard agg (over the
+            # checkpointed bands, so the minhash is not recomputed) carries
+            # the full occupancy report, certifies hot==0 plans as exactly
+            # the uncapped plan, and bounds the hot-list broadcast by a
+            # counted size instead of trusting AQE.
             stats = freq.agg(*_band_occupancy_aggs("_bdf", max_band_df)).collect()[0]
             hot_n = int(stats["hot_buckets"] or 0)
             event = {
@@ -382,22 +392,22 @@ def minhash_lsh_pairs(
                     event["uncapped_candidates"],
                     event["capped_candidates"],
                 )
-        else:
-            hot_n = hot.count()
-            if hot_n:
-                _LOG.warning(
-                    "minhash_lsh_pairs: %d band buckets exceed max_band_df=%d — "
-                    "routing them through star edges (pass precheck=True for "
-                    "the full occupancy report)",
-                    hot_n,
-                    max_band_df,
-                )
-        if hot_n > 0:
             # Bounded broadcast: forcing an arbitrarily large hot list past
             # autoBroadcastJoinThreshold would OOM in the exact regime the
             # cap defends; past the bound, a plain shuffle join (hot
             # partitions linear in bucket size, AQE-splittable) is correct.
-            build = F.broadcast(hot) if hot_n <= HOT_BROADCAST_MAX_BUCKETS else hot
+            apply_marking = hot_n > 0
+            if hot_n and hot_n <= HOT_BROADCAST_MAX_BUCKETS:
+                build = F.broadcast(hot)
+        # Without precheck the guard stays LAZY: plan construction runs no
+        # Spark job (explain()/plan inspection stays free, and building the
+        # DataFrame without executing it costs nothing). The marking join is
+        # always in the plan — with zero hot buckets its build side is
+        # empty, AQE broadcast-converts it at runtime, and the left-join
+        # leaves every row unmarked, so the result is identical to the
+        # certified skip. Runtime statistics (AQE), not a forced hint,
+        # decide broadcast-vs-shuffle for the data-dependent hot list.
+        if apply_marking:
             marked = melted.join(build, ["band_id", "key"], "left")
             star = (
                 marked.filter(F.col("_rep").isNotNull() & (F.col("_id") != F.col("_rep")))

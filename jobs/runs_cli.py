@@ -102,8 +102,10 @@ def _run_summary(run_dir: str) -> dict | None:
     }
 
 
-def cmd_list(args) -> dict:
-    root = args.workspace_root
+def list_runs(root: str, limit: int = 20) -> list[dict]:
+    """Workspace run listing, newest first — the ONE walk/filter/sort both
+    surfaces use (CLI ``list`` and the HTTP shim's ``GET /runs``), so run
+    ordering and listability can't drift between them."""
     runs = []
     for name in sorted(os.listdir(root)):
         d = os.path.join(root, name)
@@ -112,7 +114,14 @@ def cmd_list(args) -> dict:
             if s is not None:
                 runs.append(s)
     runs.sort(key=lambda r: (r["updated_at"] or "", r["path"]), reverse=True)
-    return {"workspace": root, "runs": runs[: args.limit]}
+    return runs[:limit]
+
+
+def cmd_list(args) -> dict:
+    return {
+        "workspace": args.workspace_root,
+        "runs": list_runs(args.workspace_root, args.limit),
+    }
 
 
 def cmd_status(args) -> dict:

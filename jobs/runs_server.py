@@ -89,7 +89,9 @@ class RunsServer(ThreadingHTTPServer):
             return self._spark
 
     def run_dir(self, run_id: str) -> str | None:
-        if not _RUN_ID_RE.match(run_id):
+        # the char-class alone admits "." / "..", which resolve to the
+        # workspace root / its parent — exactly the escape this confines
+        if not _RUN_ID_RE.match(run_id) or set(run_id) == {"."}:
             return None
         return os.path.join(self.workspace_root, run_id)
 
@@ -115,6 +117,10 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _error(self, code: int, detail: str) -> None:
         # reference error shape: FastAPI HTTPException -> {"detail": ...}
+        # Error paths may not have drained a POST body; under HTTP/1.1
+        # keep-alive the unread bytes would desync the next request on the
+        # connection, so close it after an error response.
+        self.close_connection = True
         self._json(code, {"detail": detail})
 
     def _body_json(self) -> dict | None:
@@ -138,7 +144,7 @@ class _Handler(BaseHTTPRequestHandler):
                 if d is None or not os.path.isdir(d):
                     return self._error(404, f"Run {run_id} not found")
                 if leaf == "status":
-                    return self._status(d)
+                    return self._status(d, run_id)
                 if leaf == "profile":
                     return self._profile(d, run_id)
                 if leaf in _ARTIFACTS:
@@ -165,24 +171,29 @@ class _Handler(BaseHTTPRequestHandler):
 
     # ---- GET handlers (pure file reads) -------------------------------
     def _list_runs(self, q) -> None:
-        root = self.server.workspace_root
-        runs = []
-        for name in sorted(os.listdir(root)):
-            d = os.path.join(root, name)
-            if os.path.isdir(d):
-                s = runs_cli._run_summary(d)
-                if s is not None:
-                    runs.append(s)
-        runs.sort(key=lambda r: (r["updated_at"] or "", r["path"]), reverse=True)
-        limit = int(q.get("limit", ["20"])[0])
-        # reference list_runs returns a bare List[RunStatus]
-        self._json(200, runs[:limit])
+        try:
+            limit = int(q.get("limit", ["20"])[0])
+        except ValueError:
+            return self._error(400, "limit must be an integer")
+        # reference list_runs returns a bare List[RunStatus]; the walk/sort
+        # is the CLI's list_runs so the two surfaces can't drift
+        self._json(200, runs_cli.list_runs(self.server.workspace_root, limit))
 
-    def _status(self, run_dir: str) -> None:
+    def _status(self, run_dir: str, run_id: str) -> None:
         m = runs_cli._read_json(os.path.join(run_dir, "manifest.json"))
+        err = runs_cli._read_json(os.path.join(run_dir, "server_error.json"))
         if m is None:
-            return self._error(404, "Run has no manifest yet")
-        self._json(200, runs_cli._run_status_view(m))
+            # POST /runs creates the dir before the pipeline's first
+            # manifest write: a dir with no manifest is a queued run —
+            # unless the daemon thread left an error corpse, which must be
+            # observable (a poller can't otherwise tell failed from
+            # not-yet-started). Same RunStatus shape either way.
+            m = {"run_id": run_id, "state": "queued"}
+        view = runs_cli._run_status_view(m)
+        if err is not None and view.get("state") != "completed":
+            view["state"] = "errored"
+            view["errors"] = list(view.get("errors") or []) + [err.get("error")]
+        self._json(200, view)
 
     def _profile(self, run_dir: str, run_id: str) -> None:
         p = runs_cli._read_json(os.path.join(run_dir, "profile.json"))
@@ -224,9 +235,11 @@ class _Handler(BaseHTTPRequestHandler):
             return self._error(400, f"Invalid run_id {run_id!r}")
         if os.path.isdir(d):
             return self._error(409, f"Run {run_id} already exists")
+        # build the session BEFORE creating the run dir: a session-build
+        # failure must not leave an orphan dir that permanently 409s the id
+        spark = self.server.spark()
         os.makedirs(d)
         created_at = datetime.now(timezone.utc).isoformat()
-        spark = self.server.spark()  # build BEFORE 201 so failures surface
 
         def _job():
             from data_profiler_spark.pipeline import QualityFilterPipeline

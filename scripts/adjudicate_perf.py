@@ -30,24 +30,11 @@ sys.path.insert(0, ".")
 
 
 def _markers(spark, cpus: int) -> tuple[float, float]:
-    from pyspark.sql import functions as F
+    # bench.py's marker workloads, not a copy: the quiet references are
+    # calibrated against those exact workloads (see scale_step._markers).
+    import bench
 
-    t0 = time.time()
-    spark.range(0, 20_000_000, 1, cpus).select(
-        F.max(F.sha2(F.col("id").cast("string"), 256))
-    ).collect()
-    compute = time.time() - t0
-    big = (
-        spark.range(0, 2_000_000, 1, cpus)
-        .select(F.repeat(F.sha2(F.col("id").cast("string"), 256), 4).alias("s"))
-        .cache()
-    )
-    big.count()
-    t0 = time.time()
-    big.select(F.max(F.sha2(F.col("s"), 256))).collect()
-    bw = time.time() - t0
-    big.unpersist()
-    return compute, bw
+    return bench._jvm_marker(spark, cpus), bench._jvm_bw_marker(spark, cpus)
 
 
 def main() -> None:

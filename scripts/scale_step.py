@@ -51,18 +51,28 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F
 
 
-def _rest(path: str) -> list | dict:
-    with urllib.request.urlopen(f"http://localhost:4040/api/v1{path}") as r:
+def _rest(base: str, path: str) -> list | dict:
+    with urllib.request.urlopen(f"{base}/api/v1{path}") as r:
         return json.load(r)
 
 
-def _app_id() -> str:
-    return _rest("/applications")[0]["id"]
+def _ui_base(spark) -> str:
+    # NEVER hardcode :4040 — when another Spark app holds it, this session
+    # binds 4041+ and a hardcoded port would silently read the OTHER app's
+    # stage metrics (every diff empty, shuffle bytes reported as 0).
+    url = spark.sparkContext.uiWebUrl
+    if not url:
+        raise RuntimeError("Spark UI is disabled; pass spark.ui.enabled=true")
+    return url
 
 
-def _stages(app: str) -> dict[int, dict]:
+def _app_id(base: str) -> str:
+    return _rest(base, "/applications")[0]["id"]
+
+
+def _stages(base: str, app: str) -> dict[int, dict]:
     out = {}
-    for s in _rest(f"/applications/{app}/stages?status=complete"):
+    for s in _rest(base, f"/applications/{app}/stages?status=complete"):
         out[s["stageId"]] = {
             "w": s.get("shuffleWriteBytes", 0),
             "r": s.get("shuffleReadBytes", 0),
@@ -71,22 +81,16 @@ def _stages(app: str) -> dict[int, dict]:
 
 
 def _markers(spark, cpus: int) -> dict:
-    t0 = time.time()
-    spark.range(0, 20_000_000, 1, cpus).select(
-        F.max(F.sha2(F.col("id").cast("string"), 256))
-    ).collect()
-    compute = time.time() - t0
-    big = (
-        spark.range(0, 2_000_000, 1, cpus)
-        .select(F.repeat(F.sha2(F.col("id").cast("string"), 256), 4).alias("s"))
-        .cache()
-    )
-    big.count()
-    t0 = time.time()
-    big.select(F.max(F.sha2(F.col("s"), 256))).collect()
-    bw = time.time() - t0
-    big.unpersist()
-    return {"compute": round(compute, 3), "bw": round(bw, 3)}
+    # bench.py's marker workloads, not a local copy: the quiet references
+    # (bench.QUIET_MARKER_SEC etc.) are calibrated against THOSE exact
+    # workloads, and a drifting copy would silently break marker-relative
+    # comparisons across the repo's measurement artifacts.
+    import bench
+
+    return {
+        "compute": round(bench._jvm_marker(spark, cpus), 3),
+        "bw": round(bench._jvm_bw_marker(spark, cpus), 3),
+    }
 
 
 def main() -> None:
@@ -105,7 +109,8 @@ def main() -> None:
         cores=args.cpus,
         extra_conf={"spark.ui.enabled": "true"},
     )
-    app = _app_id()
+    ui = _ui_base(spark)
+    app = _app_id(ui)
     cpus = args.cpus
 
     def op_minhash(df):
@@ -179,13 +184,18 @@ def main() -> None:
         ]
         for name, fn in ops:
             fn()  # warm: codegen + caches
-            before = _stages(app)
-            best, rows = float("inf"), None
-            for _ in range(2):  # best-of-2 (bursty host; BASELINE.md)
-                t0 = time.time()
-                rows = fn()
-                best = min(best, time.time() - t0)
-            after = _stages(app)
+            # Shuffle accounting brackets exactly ONE run — "sec" is a
+            # single run's wall time too, so the published bytes and
+            # seconds describe the same unit of work (a diff spanning the
+            # whole best-of-2 loop would double the absolutes).
+            before = _stages(ui, app)
+            t0 = time.time()
+            rows = fn()
+            best = time.time() - t0
+            after = _stages(ui, app)
+            t0 = time.time()  # best-of-2 (bursty host; BASELINE.md)
+            fn()
+            best = min(best, time.time() - t0)
             new = [v for k, v in after.items() if k not in before]
             level["ops"][name] = {
                 "sec": round(best, 3),

@@ -554,15 +554,34 @@ def test_embedding_near_dup_empty_and_dim_param(emb, spark):
 
 
 def test_minhash_hot_join_shuffle_fallback(spark, monkeypatch):
-    """Past HOT_BROADCAST_MAX_BUCKETS the hot-bucket excision joins with a
-    plain shuffle join instead of a forced broadcast (an unbounded
-    F.broadcast would bypass autoBroadcastJoinThreshold and OOM in the
-    exact >cap regime the guardrail defends). Forcing the bound to 0 must
-    leave the star-edge output identical."""
+    """In precheck mode, past HOT_BROADCAST_MAX_BUCKETS the hot-bucket
+    excision joins with a plain shuffle join instead of a forced broadcast
+    (an unbounded F.broadcast would bypass autoBroadcastJoinThreshold and
+    OOM in the exact >cap regime the guardrail defends). Forcing the bound
+    to 0 must leave the star-edge output identical."""
     family = [(i, "massive duplicated boilerplate page body text here") for i in range(300)]
     singles = [(900, "one of a kind document alpha content")]
     df = spark.createDataFrame(family + singles, "doc_id long, text string")
     monkeypatch.setattr(dedup, "HOT_BROADCAST_MAX_BUCKETS", 0)
-    rows = dedup.minhash_lsh_pairs(df, threshold=0.8, max_band_df=32).collect()
+    rows = dedup.minhash_lsh_pairs(
+        df, threshold=0.8, max_band_df=32, precheck=True
+    ).collect()
     assert {(r["id1"], r["id2"]) for r in rows} == {(0, i) for i in range(1, 300)}
     assert all(r["jaccard"] == 1.0 for r in rows)
+
+
+def test_minhash_plan_build_runs_no_job_by_default(spark):
+    """Without precheck, constructing the capped plan must run NO Spark
+    job (the guard is lazy): building over a frame whose text column
+    raises on EVALUATION succeeds, and only an action detonates it. Keeps
+    explain()/plan inspection free and the plan-builder pure."""
+    df = spark.range(8).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") >= 0, F.raise_error(F.lit("evaluated at build time")))
+        .otherwise(F.lit("x"))
+        .alias("text"),
+    )
+    out = dedup.minhash_lsh_pairs(df, threshold=0.8)  # must not raise
+    out.explain()  # plan inspection is free too
+    with pytest.raises(Exception, match="evaluated at build time"):
+        out.collect()

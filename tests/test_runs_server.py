@@ -172,3 +172,39 @@ def test_create_run_end_to_end(server, workspace, spark, tmp_path):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post_json(server, "/runs", {"input": inp, "run_id": "r-http"})
     assert e.value.code == 409
+
+
+def test_traversal_and_limit_validation(server, workspace):
+    """Plain ``.``/``..`` run ids match the char-class but resolve to the
+    workspace root / its parent — they must 404, not serve files outside
+    the workspace; non-numeric ?limit is a 400, not a 500."""
+    (workspace.parent / "report.html").write_text("<html>outside</html>")
+    for bad in ("/runs/../report.html", "/runs/./status", "/runs/../status"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(server, bad)
+        assert e.value.code == 404, bad
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/runs?limit=abc")
+    assert e.value.code == 400
+
+
+def test_status_observability_before_and_after_failure(server, workspace):
+    """A run dir with no manifest yet is a *queued* run (RunStatus shape,
+    200) — and once the POST /runs daemon leaves a server_error.json
+    corpse, status flips to *errored* with the error in ``errors``: a
+    poller can always distinguish not-started / running / failed."""
+    d = workspace / "r-pending"
+    d.mkdir()
+    status, out = _get_json(server, "/runs/r-pending/status")
+    assert status == 200
+    assert out["state"] == "queued" and out["run_id"] == "r-pending"
+    assert REF_RUN_STATUS <= set(out)
+
+    (d / "server_error.json").write_text(
+        json.dumps({"error": "AnalysisException: path does not exist"})
+    )
+    status, out = _get_json(server, "/runs/r-pending/status")
+    assert status == 200
+    assert out["state"] == "errored"
+    assert any("AnalysisException" in e for e in out["errors"])
+    assert REF_RUN_STATUS <= set(out)
