@@ -46,6 +46,16 @@ from .io.audit import AuditLog, fingerprint_digest, input_fingerprint_exprs
 
 SALT_BUCKETS = 256
 
+# The input contract (BASELINE input_hint: pages(url, warc_ts, html, text,
+# lang)). run() checks these up front and fails fast with E_INPUT_SCHEMA —
+# without the check a missing column surfaces as a deep AnalysisException
+# out of whichever stage first references it, AFTER stages have started
+# (and, pre-round-5, with the manifest stuck at "processing" forever).
+# `html` is only required when validate_first=True (the UTF-8 gate reads
+# it); scoring itself needs text, the salted write url, the month
+# partition warc_ts, and the metrics read-back lang.
+REQUIRED_INPUT_COLUMNS = ("url", "warc_ts", "text", "lang")
+
 # month partition value for rows with a null warc_ts — a plain NULL would
 # make the resume predicate `~month.isin(completed)` evaluate to NULL
 # (row silently dropped on every resume) and land in Hive's default
@@ -266,6 +276,18 @@ class QualityFilterPipeline:
         a progress fraction, and mirrored to the append-only
         ``audit.jsonl`` (PII-free events + input content fingerprint —
         reference ``audit.py:67-135``).
+
+        Failure observability (reference RunState ``queued → processing →
+        completed → failed``, ``api/models/run.py:15-20`` + error
+        accumulation ``workspace.py:239-262``): the input schema is checked
+        BEFORE any stage starts (missing columns → ``E_INPUT_SCHEMA``
+        ValueError, not a deep AnalysisException out of the write job), and
+        ANY exception marks the manifest ``failed`` — running stages stamped
+        ``failed`` with a finish timestamp, the error message appended to
+        ``manifest["errors"]``, a ``run_failed`` audit event — before
+        re-raising, so a poller (runs_cli / runs_server) can always
+        distinguish a dead run from a slow one. Re-running the same run_id
+        after a failure resumes normally from the committed months.
         """
         audit = AuditLog(self.output_path)
         manifest = self._load_manifest()
@@ -274,6 +296,54 @@ class QualityFilterPipeline:
             audit.event("run_created", run_id)
         else:
             audit.event("run_resumed", run_id, completed=sorted(manifest["completed_batches"]))
+        try:
+            self._check_input_schema(pages, validate_first)
+            return self._run_stages(
+                pages, run_id, validate_first, max_invalid_utf8, audit, manifest
+            )
+        except Exception as e:
+            self._mark_failed(manifest, audit, run_id, e)
+            raise
+
+    def _check_input_schema(self, pages: DataFrame, validate_first: bool) -> None:
+        """Fail-fast input contract check — see :data:`REQUIRED_INPUT_COLUMNS`."""
+        need = list(REQUIRED_INPUT_COLUMNS) + (["html"] if validate_first else [])
+        missing = [c for c in need if c not in pages.columns]
+        if missing:
+            raise ValueError(
+                f"E_INPUT_SCHEMA: input is missing required column(s) {missing}; "
+                f"the pipeline scores pages(url, warc_ts, html, text, lang) — got "
+                f"{list(pages.columns)}"
+            )
+
+    def _mark_failed(
+        self, manifest: dict, audit: AuditLog, run_id: str, exc: BaseException
+    ) -> None:
+        """Reference ``failed`` state + error accumulation. The message is
+        truncated to 300 chars and is exception text only (error codes,
+        column names, plan fragments) — never row data, keeping the
+        manifest/audit PII-free."""
+        now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        for entry in manifest.get("stages", []):
+            if entry["state"] == "running":
+                entry["state"] = "failed"
+                entry["finished_at"] = now
+        manifest["state"] = "failed"
+        msg = f"{type(exc).__name__}: {exc}"[:300]
+        manifest.setdefault("errors", []).append(msg)
+        self._save_manifest(manifest)
+        audit.event("run_failed", run_id, error=msg)
+
+    def _run_stages(
+        self,
+        pages: DataFrame,
+        run_id: str,
+        validate_first: bool,
+        max_invalid_utf8: int,
+        audit: AuditLog,
+        manifest: dict,
+    ) -> RunResult:
+        """The stage body of :meth:`run` (which owns failure marking)."""
         if validate_first:
             self._stage_start(manifest, "validate")
             report = self.validate(pages, max_invalid_utf8)

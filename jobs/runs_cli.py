@@ -2,7 +2,8 @@
 polling surface (``api/routers/runs.py``: list_runs :98, get_run_status
 :964, get_candidate_keys :1534, confirm_keys :1628). The engine keeps the
 reference's observable run state (manifest.json with queued → processing
-→ completed stage transitions + progress fraction, append-only audit
+→ completed/failed stage transitions + progress fraction + accumulated
+errors, append-only audit
 JSONL) and exposes it as files + this CLI — a user who polled
 ``GET /runs/{id}/status`` polls ``runs_cli.py status <run_dir>``;
 everything is read from the manifest the pipeline already maintains, so

@@ -26,7 +26,7 @@ Divergences from the reference, by design (documented, not accidental):
   the quality-filter pipeline on it in a daemon thread — the distributed
   engine profiles a table, not a multipart CSV upload, so the
   create→upload two-step collapses into one call. State transitions
-  (queued → processing → completed) are observable through the manifest
+  (queued → processing → completed/failed) are observable through the manifest
   exactly as the reference's poller expects.
 * ``list``/``status``/artifact GETs are pure file reads — polling a long
   run never touches Spark (same property the CLI has).
@@ -190,8 +190,13 @@ class _Handler(BaseHTTPRequestHandler):
             # not-yet-started). Same RunStatus shape either way.
             m = {"run_id": run_id, "state": "queued"}
         view = runs_cli._run_status_view(m)
-        if err is not None and view.get("state") != "completed":
-            view["state"] = "errored"
+        # The corpse covers crashes BEFORE the pipeline could mark its own
+        # manifest (bad input path, session loss): reference RunState
+        # "failed". A manifest already marked failed/completed by the
+        # pipeline is authoritative — it carries the error in its own
+        # errors list.
+        if err is not None and view.get("state") not in ("completed", "failed"):
+            view["state"] = "failed"
             view["errors"] = list(view.get("errors") or []) + [err.get("error")]
         self._json(200, view)
 

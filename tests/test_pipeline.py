@@ -126,7 +126,13 @@ def test_stage_progress_audit_and_crash_resume(pages, tmp_path):
         QualityFilterPipeline._read_output = orig
 
     manifest = json.load(open(os.path.join(out, "manifest.json")))
-    assert manifest["state"] == "processing"  # not silently completed
+    # round 5: crashes mark the reference RunState "failed" (not silently
+    # completed, and no longer stuck at "processing" — a poller can tell a
+    # dead run from a slow one), with the error accumulated and the
+    # running stage stamped failed
+    assert manifest["state"] == "failed"
+    assert any("Crash" in e for e in manifest["errors"])
+    assert [s["state"] for s in manifest["stages"] if s["stage"] == "metrics"] == ["failed"]
     assert manifest["completed_batches"]
     assert all(e["state"] == "written" for e in manifest["completed_batches"].values())
 
@@ -168,6 +174,37 @@ def test_stage_progress_audit_and_crash_resume(pages, tmp_path):
     # PII discipline: counts/hashes only — no row values in any event
     banned = ("text", "url", "html", "scrubbed_text")
     assert not any(k in e for e in events for k in banned)
+
+
+def test_input_schema_fail_fast(pages, tmp_path):
+    """Round 5: a wrong-shaped input fails BEFORE any stage starts with a
+    clear ``E_INPUT_SCHEMA`` error naming the missing columns (not a deep
+    AnalysisException out of whichever stage first references them), the
+    manifest records the reference "failed" state with the error
+    accumulated, and re-running the same run_id with a fixed input
+    completes normally."""
+    import pytest
+
+    out = str(tmp_path / "schema")
+    pipe = QualityFilterPipeline(pages.sparkSession, out)
+    with pytest.raises(ValueError, match="E_INPUT_SCHEMA.*warc_ts"):
+        pipe.run(pages.drop("warc_ts", "url"), run_id="s1")
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert manifest["state"] == "failed"
+    assert any("E_INPUT_SCHEMA" in e and "url" in e for e in manifest["errors"])
+    assert manifest.get("stages", []) == []  # failed before any stage started
+    assert not os.path.exists(os.path.join(out, "data"))
+
+    # html is required only when the UTF-8 gate will read it
+    with pytest.raises(ValueError, match="E_INPUT_SCHEMA.*html"):
+        pipe.run(pages.drop("html"), run_id="s1", validate_first=True)
+
+    # failed runs resume cleanly once the input is fixed
+    res = pipe.run(pages, run_id="s1")
+    assert res.batches
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert manifest["state"] == "completed"
+    assert len(manifest["errors"]) == 2  # the failure history is retained
 
 
 def test_null_month_rows_survive_resume(pages, tmp_path):

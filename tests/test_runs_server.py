@@ -191,8 +191,11 @@ def test_traversal_and_limit_validation(server, workspace):
 def test_status_observability_before_and_after_failure(server, workspace):
     """A run dir with no manifest yet is a *queued* run (RunStatus shape,
     200) — and once the POST /runs daemon leaves a server_error.json
-    corpse, status flips to *errored* with the error in ``errors``: a
-    poller can always distinguish not-started / running / failed."""
+    corpse, status flips to *failed* (the reference RunState,
+    ``api/models/run.py:15-20``) with the error in ``errors``: a poller
+    can always distinguish not-started / running / failed. A manifest the
+    pipeline itself marked failed is authoritative — the corpse must not
+    double-append its error."""
     d = workspace / "r-pending"
     d.mkdir()
     status, out = _get_json(server, "/runs/r-pending/status")
@@ -205,6 +208,17 @@ def test_status_observability_before_and_after_failure(server, workspace):
     )
     status, out = _get_json(server, "/runs/r-pending/status")
     assert status == 200
-    assert out["state"] == "errored"
+    assert out["state"] == "failed"
     assert any("AnalysisException" in e for e in out["errors"])
     assert REF_RUN_STATUS <= set(out)
+
+    # pipeline-marked failure wins: its own errors list passes through
+    (d / "manifest.json").write_text(
+        json.dumps(
+            {"run_id": "r-pending", "state": "failed", "errors": ["ValueError: E_INPUT_SCHEMA"]}
+        )
+    )
+    status, out = _get_json(server, "/runs/r-pending/status")
+    assert status == 200
+    assert out["state"] == "failed"
+    assert out["errors"] == ["ValueError: E_INPUT_SCHEMA"]
